@@ -1,0 +1,382 @@
+"""Rulebase -> compiled vectorized matcher.
+
+Compiles each rule's linearized parser sequence into ONE anchored Python
+regex with named groups (the fast path executed over pandas string batches),
+plus metadata to turn captures into the output JSON event.  Design notes:
+
+* Motif fragments use possessive quantifiers / atomic groups so the regex
+  cannot backtrack *inside* a motif — the reference's parsers are greedy
+  single-pass (e.g. ``number`` consumes all digits; a following literal
+  digit can never match, src/parser.c:784-827).  Backtracking *across*
+  alternatives mirrors the PDAG's backtracking (src/pdag.c:1588-1599).
+* Fragments are constructed to accept a SUPERSET of the C parser's
+  language where exactness is cheap, with a post-match validator that
+  re-parses the captured span with the exact walker; a mismatch raises
+  :class:`Reject` and the row falls back to the full walker across all
+  rules.  Fragments must never under-match (a missed match could let a
+  lower-priority rule win).
+* Rule order mirrors PDAG child ordering: a trie over parser-config tokens
+  ordered by combined priority (src/pdag.c:378-398) with insertion order
+  as tie-break; DFS over the trie yields the global first-match-wins rule
+  order.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from liblognorm_spark.compiler import motifs as M
+from liblognorm_spark.compiler.motifs import Reject
+from liblognorm_spark.rulebase.loader import Alt, PNode, Rule, Rulebase
+from liblognorm_spark.runtime.walker import WalkState, attach, walk_seq
+
+RE_SP = r"[ \t\n\v\f\r]"
+OCTET = r"(?:[01][0-9]{2}|2[0-4][0-9]|25[0-5]|[0-9]{1,2})(?![0-9])"
+IPV4_FRAG = rf"{OCTET}\.{OCTET}\.{OCTET}\.{OCTET}"
+
+
+# ---------------------------------------------------------------- fragments
+
+
+def _frag_literal(p):
+    return re.escape(p["text"])
+
+
+def _frag_charclass(chars: str, plus: bool) -> str:
+    cls = "[" + re.escape(chars).replace("\\-", "\\-") + "]"
+    return cls + ("++" if plus else "*+")
+
+
+def _neg_class(chars: str) -> str:
+    inner = "".join(re.escape(c) for c in chars)
+    return f"[^{inner}]"
+
+
+# fragment builders: p(params) -> regex str (no capture group) or None
+FRAGMENTS: dict[str, Optional[Callable[[dict], Optional[str]]]] = {
+    "literal": _frag_literal,
+    "whitespace": lambda p: RE_SP + "++",
+    "word": lambda p: r"[^ ]++",
+    "alpha": lambda p: r"[A-Za-z]++",
+    "number": lambda p: r"[0-9]++",
+    "float": lambda p: r"(?:-[0-9]*+(?:\.[0-9]*+)?|[0-9]++(?:\.[0-9]*+)?|\.[0-9]*+)",
+    "hexnumber": lambda p: rf"0x[0-9a-fA-F]*+(?={RE_SP})",
+    "kernel-timestamp": lambda p: r"\[[0-9]{5,12}\.[0-9]{6}\]",
+    "rest": lambda p: r"(?s:.*+)",
+    "string-to": lambda p: (
+        rf"(?>(?s:.+?)(?={re.escape(p['extradata'])}))" if p.get("extradata") else None
+    ),
+    "char-to": lambda p: (
+        rf"(?>{_neg_class(p['extradata'])}++)(?=[{''.join(re.escape(c) for c in p['extradata'])}])"
+        if p.get("extradata")
+        else None
+    ),
+    "char-sep": lambda p: rf"{_neg_class(p.get('extradata', ''))}*+",
+    "op-quoted-string": lambda p: r"(?>\"[^\"]*+\"|(?!\")[^ ]++)",
+    "quoted-string": lambda p: r"\"[^\"]*+\"",
+    "date-iso": lambda p: r"[0-9]{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])",
+    "time-24hr": lambda p: r"(?:[01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]",
+    "time-12hr": lambda p: r"(?:0[0-9]|1[0-2]):[0-5][0-9]:[0-5][0-9]",
+    "duration": lambda p: r"[0-9]{1,2}:[0-5][0-9]:[0-5][0-9]",
+    "ipv4": lambda p: IPV4_FRAG,
+    "mac48": lambda p: r"[0-9a-fA-F]{2}(?:(?::[0-9a-fA-F]{2}){5}|(?:-[0-9a-fA-F]{2}){5})",
+    # superset fragments, exactness restored by walker validation:
+    "ipv6": lambda p: rf"(?>[0-9A-Fa-f:.]++)",
+    "date-rfc3164": lambda p: (
+        r"(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+        r"  ?[0-9]++ (?:[0-9]++ )?[0-9]++:[0-9]++:[0-9]++:?+"
+    ),
+    "date-rfc5424": lambda p: (
+        r"[0-9]++-[0-9]++-[0-9]++T[0-9]++:[0-9]++:[0-9]++"
+        r"(?:\.[0-9]*+)?(?:Z|[+-][0-9]++:[0-9]++)(?= |$)"
+    ),
+    "v2-iptables": lambda p: (
+        rf"(?>[A-Z]++(?:=[^ \t\n\v\f\r]*+)?(?: [A-Z]++(?:=[^ \t\n\v\f\r]*+)?)++)(?![\s\S])"
+    ),
+    "name-value-list": None,  # built dynamically in _frag_nvl
+    "checkpoint-lea": lambda p: r"(?>(?: *+[^:]*+:[^;]*+;)++ *+)",
+    # walker-only motifs:
+    "json": None,
+    "cee-syslog": None,
+    "cef": None,
+    "cisco-interface-spec": None,
+    "string": None,
+    "repeat": None,  # handled structurally (body/while may be regexable)
+    "custom": None,  # handled structurally
+}
+
+# motifs whose captured span must be re-validated with the exact walker
+VALIDATE = {
+    "ipv6",
+    "date-rfc3164",
+    "date-rfc5424",
+    "v2-iptables",
+    "name-value-list",
+    "checkpoint-lea",
+    "repeat",
+}
+# motifs whose value comes from the walker parse (structured values)
+WALKER_VALUE = VALIDATE | {"json", "cee-syslog", "cef", "cisco-interface-spec", "string"}
+
+
+def _frag_nvl(p) -> str:
+    """name-value-list superset fragment (exact via walker validation)."""
+    sep = p.get("separator") or p.get("extradata") or ""
+    ass = (p.get("assignator") or "=")[:1] or "="
+    sep_cls = f"[{re.escape(sep)}]" if sep else RE_SP
+    if p.get("assignator"):
+        name = rf"(?:(?!{re.escape(ass)})[\s\S])++"
+    else:
+        name = r"[A-Za-z0-9._-]++"
+    bare = rf"(?:\\[\s\S]|(?!{sep_cls})[^\\])*+"
+    quoted = r"\"(?:\\[\s\S]|[^\"\\])*+\"|'(?:\\[\s\S]|[^'\\])*+'"
+    pair = rf"{name}{re.escape(ass)}(?:{quoted}|{bare})"
+    return rf"(?>(?:{pair}(?:{sep_cls}++{pair})*+{sep_cls}*+)?)"
+
+
+@dataclass
+class FieldSpec:
+    """Metadata for one captured field in a compiled rule."""
+
+    gname: str
+    name: Optional[str]
+    node: PNode
+    sub: Optional[list] = None  # sub-FieldSpecs for custom-type objects
+
+    def extract(self, m: re.Match, text: str, types: dict):
+        """Captured text -> JSON value (may raise Reject)."""
+        raw = m.group(self.gname)
+        if raw is None:
+            return _NOT_PART
+        node = self.node
+        if self.sub is not None:  # custom type -> object from sub-captures
+            child: dict = {}
+            for fs in reversed(self.sub):  # leftmost attaches last (fixJSON)
+                v = fs.extract(m, text, types)
+                if v is _NOT_PART:
+                    continue
+                attach(child, fs.name, v)
+            return child
+        ptype = node.ptype
+        if ptype in WALKER_VALUE:
+            start = m.start(self.gname)
+            if ptype == "repeat":
+                from liblognorm_spark.runtime.walker import _parse_repeat
+
+                st = WalkState(text=text, strlen=len(text), types=types)
+                res3 = _parse_repeat(st, node, start)
+                res = (res3[1], res3[2]) if res3[0] else None
+            else:
+                res = M.PARSERS[ptype](text, start, node.params)
+            if res is None or res[0] != len(raw):
+                raise Reject(ptype)
+            return res[1]
+        # scalar fast path with value-dependent checks
+        if ptype == "number":
+            maxval = int(node.params.get("maxval", 0))
+            if maxval > 0 and int(raw) > maxval:
+                raise Reject("number maxval")
+        elif ptype == "hexnumber":
+            maxval = int(node.params.get("maxval", 0))
+            if maxval > 0 and int(raw, 16) > maxval:
+                raise Reject("hexnumber maxval")
+        return M.coerce_value(ptype, raw, node.params)
+
+
+_NOT_PART = object()  # sentinel: group did not participate in the match
+
+
+class _Ctx:
+    def __init__(self, types: dict):
+        self.types = types
+        self.counter = 0
+        self.regexable = True
+
+    def gname(self) -> str:
+        self.counter += 1
+        return f"g{self.counter}"
+
+
+def _item_fragment(item, ctx: _Ctx, specs: list, capture: bool) -> str:
+    """Build the regex fragment for one Seq item; append FieldSpecs."""
+    if isinstance(item, Alt):
+        alts = sorted(item.alts, key=lambda s: s[0].prio if s else 1 << 30)
+        parts = [_seq_fragment(s, ctx, specs, capture) for s in alts]
+        return "(?:" + "|".join(parts) + ")"
+    node: PNode = item
+    ptype = node.ptype
+    if ptype == "custom":
+        tname = node.params["typename"]
+        type_alts = ctx.types.get(tname)
+        if not type_alts:
+            ctx.regexable = False
+            return ""
+        sub_specs: list = []
+        alt_frags = [
+            _seq_fragment(s, ctx, sub_specs, capture)
+            for s in sorted(type_alts, key=lambda s: s[0].prio if s else 1 << 30)
+        ]
+        inner = "(?:" + "|".join(alt_frags) + ")"
+        if not ctx.regexable:
+            return ""
+        if capture and node.name is not None:
+            g = ctx.gname()
+            specs.append(FieldSpec(gname=g, name=node.name, node=node, sub=sub_specs))
+            return f"(?P<{g}>{inner})"
+        # unnamed custom type: sub-captures are discarded (fixJSON name=None)
+        return inner
+    if ptype == "repeat":
+        body_specs: list = []
+        b = _seq_fragment(node.params["parser_seq"], ctx, body_specs, capture=False)
+        w = _seq_fragment(node.params["while_seq"], ctx, [], capture=False)
+        if not ctx.regexable or node.params.get("option.permitMismatchInParser"):
+            ctx.regexable = False
+            return ""
+        inner = f"(?>(?:{b})(?:(?:{w})(?:{b}))*+)"
+        if capture and node.name is not None:
+            g = ctx.gname()
+            specs.append(FieldSpec(gname=g, name=node.name, node=node))
+            return f"(?P<{g}>{inner})"
+        return inner
+    builder = _frag_nvl if ptype == "name-value-list" else FRAGMENTS.get(ptype)
+    if builder is None:
+        ctx.regexable = False
+        return ""
+    frag = builder(node.params)
+    if frag is None:
+        ctx.regexable = False
+        return ""
+    if capture and node.name is not None:
+        g = ctx.gname()
+        specs.append(FieldSpec(gname=g, name=node.name, node=node))
+        return f"(?P<{g}>{frag})"
+    return f"(?:{frag})"
+
+
+def _seq_fragment(seq, ctx: _Ctx, specs: list, capture: bool) -> str:
+    return "".join(_item_fragment(it, ctx, specs, capture) for it in seq)
+
+
+@dataclass
+class CompiledRule:
+    rule: Rule
+    pattern: Optional[re.Pattern]  # None -> walker-only rule
+    specs: list  # list[FieldSpec]
+    prefilter: str  # literal prefix for cheap vectorized candidate filtering
+    order: int = 0
+
+    @property
+    def rule_id(self):
+        return self.rule.rule_id
+
+    @property
+    def tags(self):
+        return self.rule.tags
+
+
+def _literal_prefix(seq) -> str:
+    if seq and isinstance(seq[0], PNode) and seq[0].ptype == "literal":
+        return seq[0].params["text"]
+    return ""
+
+
+def compile_rule(rule: Rule, types: dict) -> CompiledRule:
+    ctx = _Ctx(types)
+    specs: list = []
+    frag = _seq_fragment(rule.seq, ctx, specs, capture=True)
+    pattern = None
+    if ctx.regexable:
+        try:
+            pattern = re.compile(frag)
+        except re.error:
+            pattern = None
+    return CompiledRule(
+        rule=rule,
+        pattern=pattern,
+        specs=specs if pattern is not None else [],
+        prefilter=_literal_prefix(rule.seq),
+    )
+
+
+# ------------------------------------------------------------ rule ordering
+
+
+def _token_stream(rule: Rule):
+    """Rule -> tokens for trie ordering: literals expand per-char
+    (src/samp.c:320-325: one PDAG node per literal char)."""
+    out = []
+    for item in rule.seq:
+        if isinstance(item, Alt):
+            ident = _json.dumps(
+                [[_node_ident(n) for n in s if isinstance(n, PNode)] for s in item.alts],
+                sort_keys=True,
+            )
+            out.append((item.prio, "alt:" + ident))
+        elif item.ptype == "literal":
+            for ch in item.params["text"]:
+                out.append((item.prio, "lit:" + ch))
+        else:
+            out.append((item.prio, _node_ident(item)))
+    return out
+
+
+def _node_ident(n: PNode) -> str:
+    params = {k: v for k, v in n.params.items() if k not in ("parser_seq", "while_seq")}
+    return n.ptype + ":" + str(n.name) + ":" + _json.dumps(params, sort_keys=True, default=str)
+
+
+def order_rules(rules: list[Rule]) -> list[int]:
+    """Return rule_ids in PDAG first-match order: DFS over the shared-prefix
+    trie with children sorted by (combined priority, insertion order)."""
+    root: dict = {"children": {}, "rules": []}
+    for idx, rule in enumerate(rules):
+        node = root
+        for tok in _token_stream(rule):
+            key = tok
+            if key not in node["children"]:
+                node["children"][key] = {"children": {}, "rules": [], "ins": len(node["children"])}
+            node = node["children"][key]
+        node["rules"].append(idx)
+    # Preorder: a terminal rule at a node is emitted before longer rules
+    # through that node.  The reference accepts a terminal only at EOS
+    # (src/pdag.c:1608-1612) and that acceptance overrides any child match
+    # ending at the same EOS, so the shorter rule's identity wins there;
+    # fullmatch-anchored regexes make the two mutually exclusive otherwise.
+    order: list[int] = []
+
+    def dfs(node):
+        order.extend(node["rules"])
+        for _key, child in sorted(
+            node["children"].items(), key=lambda kv: (kv[0][0], kv[1]["ins"])
+        ):
+            dfs(child)
+
+    dfs(root)
+    return order
+
+
+@dataclass
+class CompiledRulebase:
+    rules: list[CompiledRule]  # in match order
+    types: dict
+    annotations: dict
+    errors: list[str] = field(default_factory=list)
+
+    @property
+    def ordered_rules(self):
+        return [cr.rule for cr in self.rules]
+
+
+def compile_rulebase(rb: Rulebase) -> CompiledRulebase:
+    order = order_rules(rb.rules)
+    compiled = []
+    for pos, idx in enumerate(order):
+        cr = compile_rule(rb.rules[idx], rb.types)
+        cr.order = pos
+        compiled.append(cr)
+    return CompiledRulebase(
+        rules=compiled, types=rb.types, annotations=rb.annotations, errors=list(rb.errors)
+    )

@@ -1,0 +1,199 @@
+"""Vectorized batch matcher + Spark integration.
+
+Execution model (the Spark-first replacement for the reference's per-message
+``ln_normalize`` loop, src/lognormalizer.c:213-267):
+
+* The rulebase is compiled once on the driver (:func:`compile_rulebase`)
+  and shipped to executors inside the ``mapInPandas`` closure — the
+  broadcast-once / read-many design of the reference's immutable PDAG
+  (doc/pdag_implementation_model.rst:117-123).
+* Matching runs per Arrow batch: for each rule in priority order, a
+  vectorized ``startswith`` prefilter plus one pandas ``str.fullmatch``
+  over the still-unmatched rows (two-stage detect-then-extract, the same
+  shape as the reference's stage-one/stage-two parsers,
+  src/parser.c:2276-2318); named-group extraction runs only on confirmed
+  matches.
+* Rows whose regex match fails value-dependent validation (Reject) and
+  rows matching no rule regex fall back to the exact-semantics walker,
+  which also produces the ``unparsed-data`` longest-parse diagnostics.
+
+No per-row Python crosses the Spark API surface: the only entry point is
+``mapInPandas`` over Arrow record batches.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from liblognorm_spark.compiler.compiler import (
+    CompiledRulebase,
+    _NOT_PART,
+    compile_rulebase,
+)
+from liblognorm_spark.compiler.motifs import Reject
+from liblognorm_spark.rulebase.loader import Rulebase
+from liblognorm_spark.runtime.walker import attach, normalize_message
+
+# output schema of the match stage (DDL form for mapInPandas)
+MATCH_FIELDS_DDL = (
+    "rule_id int, tags array<string>, fields_json string, "
+    "unparsed_data string, originalmsg string, parsed_to int, "
+    "rb_file string, rb_line int"
+)
+
+
+def _finalize_event(crb: CompiledRulebase, cr, ev: dict) -> dict:
+    """Add event.tags + tag-driven annotations (src/pdag.c:1664-1671,
+    annot.c:214-239; tags applied in reverse order annot.c:229)."""
+    if cr.tags:
+        ev["event.tags"] = list(cr.tags)
+        if crb.annotations:
+            for tag in reversed(cr.tags):
+                for k, v in (crb.annotations.get(tag) or {}).items():
+                    ev[k] = v
+    return ev
+
+
+def _dumps(ev: dict) -> str:
+    return _json.dumps(ev, ensure_ascii=False, separators=(",", ":"))
+
+
+def match_batch(crb: CompiledRulebase, texts: pd.Series) -> pd.DataFrame:
+    """Normalize a batch of messages.  Returns a DataFrame with
+    MATCH_FIELDS_DDL columns, index-aligned positionally with `texts`."""
+    n = len(texts)
+    tvals = texts.to_numpy(dtype=object)
+    rule_id = np.full(n, -1, dtype=np.int64)
+    tags: list = [None] * n
+    fields_json: list = [None] * n
+    unparsed: list = [None] * n
+    originalmsg: list = [None] * n
+    parsed_to = np.zeros(n, dtype=np.int64)
+    rb_file: list = [None] * n
+    rb_line = np.zeros(n, dtype=np.int64)
+
+    notna = texts.notna().to_numpy()
+    remaining = notna.copy()
+    need_walker = np.zeros(n, dtype=bool)
+
+    for cr in crb.rules:
+        if not remaining.any():
+            break
+        mask = remaining
+        if cr.prefilter:
+            pref = texts.str.startswith(cr.prefilter, na=False).to_numpy()
+            mask = mask & pref
+            if not mask.any():
+                continue
+        idxs = np.flatnonzero(mask)
+        if cr.pattern is not None:
+            sub = pd.Series(tvals[idxs])
+            hit = sub.str.fullmatch(cr.pattern).to_numpy(dtype=bool)
+            for pos in idxs[hit]:
+                t = tvals[pos]
+                m = cr.pattern.fullmatch(t)
+                if m is None:  # should not happen
+                    continue
+                try:
+                    ev: dict = {}
+                    # reversed: leftmost parser attaches last and wins on
+                    # duplicate names (bottom-up fixJSON, src/pdag.c:1584)
+                    for fs in reversed(cr.specs):
+                        v = fs.extract(m, t, crb.types)
+                        if v is _NOT_PART:
+                            continue
+                        attach(ev, fs.name, v)
+                except Reject:
+                    need_walker[pos] = True
+                    remaining[pos] = False
+                    continue
+                _finalize_event(crb, cr, ev)
+                rule_id[pos] = cr.rule_id
+                tags[pos] = list(cr.tags)
+                fields_json[pos] = _dumps(ev)
+                parsed_to[pos] = len(t)
+                rb_file[pos] = cr.rule.rb_file
+                rb_line[pos] = cr.rule.rb_line
+                remaining[pos] = False
+        else:
+            # walker-only rule: exact per-row match on prefiltered rows
+            from liblognorm_spark.runtime.walker import WalkState, walk_seq
+
+            for pos in idxs:
+                t = tvals[pos]
+                st = WalkState(text=t, strlen=len(t), types=crb.types)
+                ev = {}
+                if walk_seq(st, cr.rule.seq, 0, 0, False, ev, None):
+                    _finalize_event(crb, cr, ev)
+                    rule_id[pos] = cr.rule_id
+                    tags[pos] = list(cr.tags)
+                    fields_json[pos] = _dumps(ev)
+                    parsed_to[pos] = len(t)
+                    rb_file[pos] = cr.rule.rb_file
+                    rb_line[pos] = cr.rule.rb_line
+                    remaining[pos] = False
+
+    # slow path: unmatched rows + validation rejects -> exact walker
+    ordered = crb.ordered_rules
+    rule_by_id = {cr.rule_id: cr for cr in crb.rules}
+    for pos in np.flatnonzero(remaining | need_walker):
+        t = tvals[pos]
+        rule, ev, pto = normalize_message(ordered, t, crb.types, crb.annotations)
+        parsed_to[pos] = pto
+        if rule is None:
+            unparsed[pos] = ev["unparsed-data"]
+            originalmsg[pos] = ev["originalmsg"]
+            fields_json[pos] = _dumps(ev)
+        else:
+            rule_id[pos] = rule.rule_id
+            tags[pos] = list(rule.tags)
+            fields_json[pos] = _dumps(ev)
+            rb_file[pos] = rule.rb_file
+            rb_line[pos] = rule.rb_line
+
+    return pd.DataFrame(
+        {
+            "rule_id": pd.array(rule_id, dtype="int32"),
+            "tags": tags,
+            "fields_json": fields_json,
+            "unparsed_data": unparsed,
+            "originalmsg": originalmsg,
+            "parsed_to": pd.array(parsed_to, dtype="int32"),
+            "rb_file": rb_file,
+            "rb_line": pd.array(rb_line, dtype="int32"),
+        }
+    )
+
+
+def normalize_strings(rb: Rulebase | CompiledRulebase, lines: list[str]) -> list[dict]:
+    """Pure-Python convenience API (tests / CLI parity): normalize a list of
+    strings, returning the event dicts the reference CLI would emit."""
+    crb = rb if isinstance(rb, CompiledRulebase) else compile_rulebase(rb)
+    df = match_batch(crb, pd.Series(lines, dtype=object))
+    return [_json.loads(s) if s else {} for s in df["fields_json"]]
+
+
+def normalize_df(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):
+    """Spark entry point: adds match-result columns to `df`.
+
+    Uses mapInPandas so matching runs vectorized per Arrow batch; all other
+    columns are passed through untouched.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    crb = rb if isinstance(rb, CompiledRulebase) else compile_rulebase(rb)
+    in_schema = df.schema
+    out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields)
+    schema = out_ddl + ", " + MATCH_FIELDS_DDL
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = match_batch(crb, pdf[text_col])
+            res.index = pdf.index
+            yield pd.concat([pdf, res], axis=1)
+
+    return df.mapInPandas(fn, schema=schema)
