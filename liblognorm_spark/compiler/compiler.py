@@ -118,8 +118,16 @@ VALIDATE = {
     "checkpoint-lea",
     "repeat",
 }
-# motifs whose value comes from the walker parse (structured values)
-WALKER_VALUE = VALIDATE | {"json", "cee-syslog", "cef", "cisco-interface-spec", "string"}
+# motifs whose value comes from the walker parse (structured values or
+# value-transforming parsers, e.g. op-quoted-string strips quotes)
+WALKER_VALUE = VALIDATE | {
+    "json",
+    "cee-syslog",
+    "cef",
+    "cisco-interface-spec",
+    "string",
+    "op-quoted-string",
+}
 
 
 def _frag_nvl(p) -> str:

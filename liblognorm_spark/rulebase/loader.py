@@ -70,6 +70,77 @@ class RulebaseError(Exception):
     pass
 
 
+def scan_json_span(buf: str, i: int) -> tuple[Any, int]:
+    """Parse one JSON value starting at buf[i], tolerating trailing commas
+    (json-c accepts ``[1,2,]`` / ``{"a":1,}``; several reference rulebase
+    fixtures rely on that).  Returns (value, end_index)."""
+    decoder = _json.JSONDecoder()
+    try:
+        return decoder.raw_decode(buf, i)
+    except ValueError:
+        pass
+    # string-aware scan for the matching close bracket, then sanitize
+    open_c = buf[i]
+    if open_c not in "{[":
+        raise RulebaseError(f"invalid json in '{buf[i:i+40]}'")
+    depth = 0
+    in_str = False
+    esc = False
+    j = i
+    n = len(buf)
+    while j < n:
+        c = buf[j]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+        else:
+            if c == '"':
+                in_str = True
+            elif c in "{[":
+                depth += 1
+            elif c in "}]":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+        j += 1
+    span = buf[i:j]
+    # drop commas directly followed (modulo whitespace) by a closing
+    # bracket — string-aware so literals like "a,]" survive
+    out: list[str] = []
+    in_str = False
+    esc = False
+    for c in span:
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            out.append(c)
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            continue
+        if c in "}]":
+            k = len(out) - 1
+            while k >= 0 and out[k] in " \t\n\r":
+                k -= 1
+            if k >= 0 and out[k] == ",":
+                del out[k]
+        out.append(c)
+    try:
+        return _json.loads("".join(out)), j
+    except ValueError as e:
+        raise RulebaseError(f"invalid json in '{span[:60]}': {e}")
+
+
 @dataclass
 class PNode:
     """One parser instance (a PDAG edge), reference src/pdag.h:81-89."""
@@ -304,9 +375,16 @@ class Rulebase:
 # ---------------- template parsing ----------------
 
 
+_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b", "f": "\f",
+    "v": "\v", "\\": "\\", "'": "'", '"': '"', "?": "?", "%": "%",
+}
+
+
 def unescape(s: str) -> str:
     """Backslash unescaping as done by libestr es_unescapeStr on literals
-    and extradata (reference usage: src/samp.c:311, 146)."""
+    and extradata (reference usage: src/samp.c:311, 146): C escapes incl.
+    \\xHH hex and \\NNN octal (tests use e.g. \\x3a for ':')."""
     out = []
     i = 0
     n = len(s)
@@ -314,10 +392,23 @@ def unescape(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < n:
             nxt = s[i + 1]
-            mapped = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"', "%": "%", "0": "\0"}.get(nxt)
-            if mapped is not None:
-                out.append(mapped)
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
                 i += 2
+                continue
+            if nxt in "xX" and i + 2 < n and s[i + 2] in "0123456789abcdefABCDEF":
+                j = i + 2
+                while j < n and j < i + 4 and s[j] in "0123456789abcdefABCDEF":
+                    j += 1
+                out.append(chr(int(s[i + 2 : j], 16)))
+                i = j
+                continue
+            if nxt in "01234567":
+                j = i + 1
+                while j < n and j < i + 4 and s[j] in "01234567":
+                    j += 1
+                out.append(chr(int(s[i + 1 : j], 8)))
+                i = j
                 continue
         out.append(c)
         i += 1
@@ -369,11 +460,9 @@ def parse_field_descr(buf: str, i: int, seq: Seq) -> int:
         i += 1
     if i < n and buf[i] in "{[":
         # JSON config (object = single parser, array = sequence)
-        decoder = _json.JSONDecoder()
-        try:
-            conf, end = decoder.raw_decode(buf, i)
-        except ValueError as e:
-            raise RulebaseError(f"invalid json in '{buf[i:]}': {e}")
+        conf, end = scan_json_span(buf, i)
+        while end < n and buf[end].isspace():
+            end += 1
         if end >= n or buf[end] != "%":
             raise RulebaseError(f"invalid json in '{buf[i:]}' (missing closing %)")
         append_parser_conf(seq, conf)
@@ -395,13 +484,11 @@ def parse_field_descr(buf: str, i: int, seq: Seq) -> int:
         raise RulebaseError(f"premature end (missing %?) in: {buf}")
     conf: dict[str, Any] = {"name": name, "type": ftype}
     if buf[i] == "{":
-        decoder = _json.JSONDecoder()
-        try:
-            jconf, end = decoder.raw_decode(buf, i)
-        except ValueError as e:
-            raise RulebaseError(f"invalid json in '{buf[i:]}': {e}")
+        jconf, end = scan_json_span(buf, i)
         conf.update(jconf)
         i = end
+        while i < n and buf[i].isspace():  # json-c tokener eats trailing WS
+            i += 1
     if i < n and buf[i] == "%":
         i += 1
     else:
