@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse->enrich->route->aggregate pipeline
+at sf0.001.  ``queries()`` exposes every implemented operator from
+SURVEY.md §2 plus the training-data operators; ``oracle_sql()`` gives the
+DuckDB-dialect twin for each SQL-expressible query.  The pages table is
+synthesized deterministically from ``documents`` with dialect-common SQL
+(liblognorm_spark/pipeline/pages.py), so oracles reconstruct expected
+parse results directly from doc_id — a strong end-to-end check on the
+whole rulebase engine.
 """
 
 from __future__ import annotations
@@ -12,27 +15,655 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liblognorm_spark.pipeline import pages as P
+from liblognorm_spark.pipeline.fixture_rulebase import routing_rulebase
+from liblognorm_spark.pipeline import pipeline as PL
+
+PAGES_CTE = f"WITH pages AS ({P.PAGES_SELECT})"
+
+
+def _pages(spark, sf_dir):
+    return P.pages_df(spark, sf_dir)
+
+
+def _parsed(spark, sf_dir, with_fallback=True):
+    pages = _pages(spark, sf_dir)
+    return PL.parse_stage(spark, pages, routing_rulebase(with_fallback))
+
+
+def _routed(spark, sf_dir, with_fallback=True):
+    return PL.route_stage(PL.enrich_stage(spark, _parsed(spark, sf_dir, with_fallback)))
+
+
+def _jget(col, key):
+    return F.get_json_object(F.col(col), f"$.{key}")
+
+
+# --------------------------------------------------------------------------
+# entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline per-sink aggregate at sf0.001."""
+    return PL.run_pipeline(spark, _pages(spark, "/root/testdata/sf0.001"))
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def q_pipeline_sink_counts(spark, sf_dir):
+    return PL.aggregate_stage(_routed(spark, sf_dir))
+
+
+def q_pipeline_sink_counts_strict(spark, sf_dir):
+    return PL.aggregate_stage(_routed(spark, sf_dir, with_fallback=False))
+
+
+def q_parse_sshd(spark, sf_dir):
+    df = _parsed(spark, sf_dir)
+    return df.filter(F.col("kind") == 0).select(
+        "doc_id",
+        _jget("fields_json", "pid").alias("pid"),
+        _jget("fields_json", "user").alias("user"),
+        _jget("fields_json", "src_ip").alias("src_ip"),
+        _jget("fields_json", "severity").alias("severity"),
+    )
+
+
+def q_parse_ident(spark, sf_dir):
+    df = _parsed(spark, sf_dir)
+    return df.filter(F.col("kind") == 2).select(
+        "doc_id",
+        _jget("fields_json", "date").alias("date"),
+        _jget("fields_json", "host").alias("host"),
+        _jget("fields_json", "tag").alias("tag"),
+        _jget("fields_json", "ip").alias("ip"),
+        _jget("fields_json", "port").alias("port"),
+    )
+
+
+def q_parse_iptables(spark, sf_dir):
+    df = _parsed(spark, sf_dir)
+    return df.filter(F.col("kind") == 3).select(
+        "doc_id",
+        _jget("fields_json", "fields.SRC").alias("src"),
+        _jget("fields_json", "fields.SPT").alias("spt"),
+        _jget("fields_json", "fields.LEN").alias("len"),
+        _jget("fields_json", "action").alias("action"),
+    )
+
+
+def q_parse_kv(spark, sf_dir):
+    df = _parsed(spark, sf_dir)
+    return df.filter(F.col("kind") == 4).select(
+        "doc_id",
+        _jget("fields_json", "fields.user").alias("user"),
+        _jget("fields_json", "fields.status").alias("status"),
+    )
+
+
+def q_parse_json_motif(spark, sf_dir):
+    df = _parsed(spark, sf_dir)
+    return df.filter(F.col("kind") == 5).select(
+        "doc_id",
+        _jget("fields_json", "payload.event").alias("event"),
+        _jget("fields_json", "payload.id").alias("id"),
+    )
+
+
+def q_parse_net(spark, sf_dir):
+    df = _parsed(spark, sf_dir)
+    return df.filter(F.col("kind") == 6).select(
+        "doc_id",
+        _jget("fields_json", "mac").alias("mac"),
+        _jget("fields_json", "dur").alias("dur"),
+    )
+
+
+def q_unparsed_diag(spark, sf_dir):
+    df = _parsed(spark, sf_dir, with_fallback=False)
+    return df.filter(F.col("unparsed_data").isNotNull()).select(
+        "doc_id", "originalmsg", "unparsed_data"
+    )
+
+
+def q_tags_explode(spark, sf_dir):
+    df = _parsed(spark, sf_dir)
+    return (
+        df.select(F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_enrich_lang(spark, sf_dir):
+    df = _routed(spark, sf_dir)
+    return df.groupBy("lang_family").agg(F.count("*").alias("n"))
+
+
+def q_parse_rate(spark, sf_dir):
+    df = _parsed(spark, sf_dir, with_fallback=False)
+    return df.groupBy(F.col("unparsed_data").isNull().alias("parsed")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---- per-motif micro queries over inline-synthesized text ----
+
+
+def _motif_df(spark, sf_dir, text_expr: str, rulebase: str, keys: list[str]):
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import normalize_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    df = spark.sql(f"SELECT doc_id, {text_expr} AS text FROM documents")
+    crb = compile_rulebase(Rulebase.from_string(rulebase))
+    out = normalize_df(df, crb, text_col="text")
+    cols = [F.col("doc_id")] + [_jget("fields_json", k).alias(k.replace(".", "_")) for k in keys]
+    return out.filter(F.col("unparsed_data").isNull()).select(*cols)
+
+
+MOTIF_NUMBER_TEXT = "('v=' || (doc_id % 300) || ' end')"
+MOTIF_NUMBER_RB = 'version=2\nrule=:v=%n:number{"maxval":255}% end\n'
+
+
+def q_motif_number_maxval(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_NUMBER_TEXT, MOTIF_NUMBER_RB, ["n"])
+
+
+MOTIF_FLOAT_TEXT = "('f=' || (doc_id % 100) || '.' || (doc_id % 10) || ' z')"
+MOTIF_FLOAT_RB = "version=2\nrule=:f=%v:float% z\n"
+
+
+def q_motif_float(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_FLOAT_TEXT, MOTIF_FLOAT_RB, ["v"])
+
+
+MOTIF_HEX_TEXT = "('h=0x' || substr(md5('' || doc_id), 1, 4) || ' t')"
+MOTIF_HEX_RB = "version=2\nrule=:h=%v:hexnumber% t\n"
+
+
+def q_motif_hexnumber(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_HEX_TEXT, MOTIF_HEX_RB, ["v"])
+
+
+MOTIF_QUOTED_TEXT = "('q=\"w' || doc_id || '\" z')"
+MOTIF_QUOTED_RB = "version=2\nrule=:q=%v:quoted-string% z\n"
+
+
+def q_motif_quoted(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_QUOTED_TEXT, MOTIF_QUOTED_RB, ["v"])
+
+
+MOTIF_CHARTO_TEXT = "('a-' || doc_id || ';rest')"
+MOTIF_CHARTO_RB = "version=2\nrule=:a-%v:char-to:;%;%r:rest%\n"
+
+
+def q_motif_char_to(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_CHARTO_TEXT, MOTIF_CHARTO_RB, ["v", "r"])
+
+
+MOTIF_DATES_TEXT = (
+    "('2024-' || lpad('' || (1 + doc_id % 12), 2, '0') || '-' || lpad('' || (1 + doc_id % 28), 2, '0')"
+    " || ' ' || lpad('' || (doc_id % 24), 2, '0') || ':' || lpad('' || (doc_id % 60), 2, '0')"
+    " || ':' || lpad('' || ((doc_id * 3) % 60), 2, '0') || ' ok')"
+)
+MOTIF_DATES_RB = "version=2\nrule=:%d:date-iso% %t:time-24hr% ok\n"
+
+
+def q_motif_dates(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_DATES_TEXT, MOTIF_DATES_RB, ["d", "t"])
+
+
+MOTIF_RFC5424_TEXT = (
+    "('ts=' || (1970 + doc_id % 50) || '-' || lpad('' || (1 + doc_id % 12), 2, '0')"
+    " || '-' || lpad('' || (1 + doc_id % 28), 2, '0') || 'T' || lpad('' || (doc_id % 24), 2, '0')"
+    " || ':' || lpad('' || (doc_id % 60), 2, '0') || ':' || lpad('' || ((doc_id * 7) % 60), 2, '0') || 'Z x')"
+)
+MOTIF_RFC5424_RB = "version=2\nrule=:ts=%t:date-rfc5424% x\n"
+
+
+def q_motif_rfc5424(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_RFC5424_TEXT, MOTIF_RFC5424_RB, ["t"])
+
+
+MOTIF_IPV6_TEXT = (
+    "('ip6 fe80::' || substr(md5('' || doc_id), 1, 4) || ':' || substr(md5('' || doc_id), 5, 4) || ' x')"
+)
+MOTIF_IPV6_RB = "version=2\nrule=:ip6 %v:ipv6% x\n"
+
+
+def q_motif_ipv6(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_IPV6_TEXT, MOTIF_IPV6_RB, ["v"])
+
+
+MOTIF_CISCO_TEXT = (
+    "('con eth0:10.' || (doc_id % 250) || '.1.2/' || (1024 + doc_id % 60000)"
+    " || ' (10.9.' || (doc_id % 250) || '.1/443)')"
+)
+MOTIF_CISCO_RB = "version=2\nrule=:con %c:cisco-interface-spec%\n"
+
+
+def q_motif_cisco(spark, sf_dir):
+    return _motif_df(
+        spark, sf_dir, MOTIF_CISCO_TEXT, MOTIF_CISCO_RB,
+        ["c.interface", "c.ip", "c.port", "c.ip2", "c.port2"],
+    )
+
+
+MOTIF_CEF_TEXT = (
+    "('CEF:0|vnd|prd|1.0|sig' || (doc_id % 100) || '|nm|' || (doc_id % 10)"
+    " || '| src=10.0.0.' || (1 + doc_id % 200) || ' msg=hello world ' || doc_id || ' dst=h' || doc_id)"
+)
+MOTIF_CEF_RB = "version=2\nrule=:%c:cef%\n"
+
+
+def q_motif_cef(spark, sf_dir):
+    return _motif_df(
+        spark, sf_dir, MOTIF_CEF_TEXT, MOTIF_CEF_RB,
+        ["c.SignatureID", "c.Severity", "c.Extensions.src", "c.Extensions.msg", "c.Extensions.dst"],
+    )
+
+
+MOTIF_LEA_TEXT = "('lea product: VPN-1; src: 10.0.0.' || (1 + doc_id % 200) || '; rule: ' || (doc_id % 50) || ';')"
+MOTIF_LEA_RB = "version=2\nrule=:lea %c:checkpoint-lea%\n"
+
+
+def q_motif_checkpoint_lea(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_LEA_TEXT, MOTIF_LEA_RB, ["c.product", "c.src", "c.rule"])
+
+
+MOTIF_REPEAT_TEXT = "('r ' || (doc_id % 90) || ':' || (doc_id % 9) || ', ' || (doc_id % 7) || ':' || (doc_id % 5) || ' w')"
+MOTIF_REPEAT_RB = (
+    "version=2\n"
+    'rule=:r %{"name":"ps","type":"repeat","parser":[{"name":"a","type":"number"},'
+    '{"type":"literal","text":":"},{"name":"b","type":"number"}],'
+    '"while":[{"type":"literal","text":", "}]}% w\n'
+)
+
+
+def q_motif_repeat(spark, sf_dir):
+    return _motif_df(
+        spark, sf_dir, MOTIF_REPEAT_TEXT, MOTIF_REPEAT_RB,
+        ["ps[0].a", "ps[0].b", "ps[1].a", "ps[1].b"],
+    )
+
+
+# ---- relational / OLAP ----
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.floor(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_c"),
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("revenue_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_topk_customers(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice")).cast("long").alias("revenue_f")
+    )
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "revenue_f")
+        .orderBy(F.col("revenue_f").desc(), F.col("custkey"))
+        .limit(5)
+    )
+
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.floor(F.sum("value") * 100).cast("long").alias("sum_v_c"))
+    )
+
+
+# ---- training-data operators ----
+
+
+def q_dedup_exact(spark, sf_dir):
+    from liblognorm_spark.functions.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_text_stats(spark, sf_dir):
+    from liblognorm_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_calc"),
+        T.punct_ratio_millis("text").alias("punct_millis"),
+        T.quality_score_millis("text").alias("quality_millis"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    from liblognorm_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from liblognorm_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q_knn_cosine(spark, sf_dir):
+    from liblognorm_spark.functions.similarity import cosine_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(v) for v in qv])
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = emb.select(
+        "vec_id",
+        F.floor(cosine_expr(vec_d, q) * 1000).cast("long").alias("cos_millis"),
+    )
+    return scored.orderBy(F.col("cos_millis").desc(), F.col("vec_id")).limit(10)
+
+
+# rows-only (non-SQL-expressible) operators
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from liblognorm_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs).filter(F.col("est_jaccard_millis") >= 500)
+
+
+def q_simhash(spark, sf_dir):
+    from liblognorm_spark.functions.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from liblognorm_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from liblognorm_spark.functions.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, min_cos_millis=950)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from liblognorm_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_media_decode(spark, sf_dir):
+    from liblognorm_spark.functions.multimodal import decode_media
+
+    pages = _pages(spark, sf_dir).limit(200)
+    pages = pages.withColumn(
+        "html", F.encode(F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>")), "UTF-8")
+    )
+    return decode_media(pages, binary_col="html", id_cols=("url",))
+
+
+def q_frame_sample(spark, sf_dir):
+    from liblognorm_spark.functions.multimodal import frame_sample
+
+    pages = _pages(spark, sf_dir).limit(100)
+    pages = pages.withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    return frame_sample(pages, binary_col="html", id_cols=("url",))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # pipeline / engine
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_sink_counts_strict": q_pipeline_sink_counts_strict,
+        "parse_sshd": q_parse_sshd,
+        "parse_ident": q_parse_ident,
+        "parse_iptables": q_parse_iptables,
+        "parse_kv": q_parse_kv,
+        "parse_json_motif": q_parse_json_motif,
+        "parse_net": q_parse_net,
+        "unparsed_diag": q_unparsed_diag,
+        "tags_explode": q_tags_explode,
+        "enrich_lang": q_enrich_lang,
+        "parse_rate": q_parse_rate,
+        # per-motif micros
+        "motif_number_maxval": q_motif_number_maxval,
+        "motif_float": q_motif_float,
+        "motif_hexnumber": q_motif_hexnumber,
+        "motif_quoted": q_motif_quoted,
+        "motif_char_to": q_motif_char_to,
+        "motif_dates": q_motif_dates,
+        "motif_rfc5424": q_motif_rfc5424,
+        "motif_ipv6": q_motif_ipv6,
+        "motif_cisco": q_motif_cisco,
+        "motif_cef": q_motif_cef,
+        "motif_checkpoint_lea": q_motif_checkpoint_lea,
+        "motif_repeat": q_motif_repeat,
+        # relational
+        "tpch_q1": q_tpch_q1,
+        "join_topk_customers": q_join_topk_customers,
+        "events_window": q_events_window,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "knn_cosine": q_knn_cosine,
+        # rows-only
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+
+_IP = P.IP
+_PID = P.PID
+_PORT = P.PORT
+_MAC = P.MAC
+_DUR = P.DURATION
+_HOST = P.HOST_ID
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pipeline_sink_counts": f"""{PAGES_CTE}
+            SELECT {P.SINK_BY_KIND} AS sink, count(*) AS n FROM pages GROUP BY 1""",
+        "pipeline_sink_counts_strict": f"""{PAGES_CTE}
+            SELECT {P.SINK_BY_KIND_NOFALLBACK} AS sink, count(*) AS n FROM pages GROUP BY 1""",
+        "parse_sshd": f"""{PAGES_CTE}
+            SELECT doc_id, '' || {_PID} AS pid, 'u' || doc_id AS user,
+                   {_IP} AS src_ip, 'high' AS severity
+            FROM pages WHERE kind = 0""",
+        "parse_ident": f"""{PAGES_CTE}
+            SELECT doc_id, 'Oct 29 09:47:08' AS date, 'h' || {_HOST} AS host,
+                   'identd' AS tag, {_IP} AS ip, '' || {_PORT} AS port
+            FROM pages WHERE kind = 2""",
+        "parse_iptables": f"""{PAGES_CTE}
+            SELECT doc_id, {_IP} AS src, '' || {_PORT} AS spt,
+                   '' || (40 + doc_id % 1400) AS len, 'blocked' AS action
+            FROM pages WHERE kind = 3""",
+        "parse_kv": f"""{PAGES_CTE}
+            SELECT doc_id, 'u' || doc_id AS user,
+                   CASE WHEN doc_id % 3 = 0 THEN 'ok' ELSE 'fail' END AS status
+            FROM pages WHERE kind = 4""",
+        "parse_json_motif": f"""{PAGES_CTE}
+            SELECT doc_id, 'page_view' AS event, '' || doc_id AS id
+            FROM pages WHERE kind = 5""",
+        "parse_net": f"""{PAGES_CTE}
+            SELECT doc_id, {_MAC} AS mac, {_DUR} AS dur FROM pages WHERE kind = 6""",
+        "unparsed_diag": f"""{PAGES_CTE}
+            SELECT doc_id, text AS originalmsg, text AS unparsed_data
+            FROM pages WHERE kind = 7""",
+        "tags_explode": f"""{PAGES_CTE},
+            k AS (SELECT kind, count(*) AS kn FROM pages GROUP BY kind),
+            t(tag, kind) AS (VALUES ('ssh',0),('login',0),('fail',0),('ftp',1),('close',1),
+                ('ident',2),('err',2),('fw',3),('deny',3),('kv',4),('json',5),('event',5),
+                ('net',6),('dev',6),('fallback',7))
+            SELECT t.tag AS tag, CAST(sum(k.kn) AS BIGINT) AS n
+            FROM t JOIN k ON t.kind = k.kind GROUP BY t.tag""",
+        "enrich_lang": f"""{PAGES_CTE},
+            lm(lang, lang_family) AS (VALUES ('en','germanic'),('de','germanic'),
+                ('fr','romance'),('es','romance'),('ja','japonic'),('zh','sinitic'))
+            SELECT lm.lang_family AS lang_family, count(*) AS n
+            FROM pages LEFT JOIN lm ON pages.lang = lm.lang GROUP BY 1""",
+        "parse_rate": f"""{PAGES_CTE}
+            SELECT (kind <> 7) AS parsed, count(*) AS n FROM pages GROUP BY 1""",
+        "motif_number_maxval": f"""
+            SELECT doc_id, '' || (doc_id % 300) AS n FROM documents WHERE doc_id % 300 <= 255""",
+        "motif_float": """
+            SELECT doc_id, (doc_id % 100) || '.' || (doc_id % 10) AS v FROM documents""",
+        "motif_hexnumber": """
+            SELECT doc_id, '0x' || substr(md5('' || doc_id), 1, 4) AS v FROM documents""",
+        "motif_quoted": """
+            SELECT doc_id, '"w' || doc_id || '"' AS v FROM documents""",
+        "motif_char_to": """
+            SELECT doc_id, '' || doc_id AS v, 'rest' AS r FROM documents""",
+        "motif_dates": """
+            SELECT doc_id,
+                   '2024-' || lpad('' || (1 + doc_id % 12), 2, '0') || '-' || lpad('' || (1 + doc_id % 28), 2, '0') AS d,
+                   lpad('' || (doc_id % 24), 2, '0') || ':' || lpad('' || (doc_id % 60), 2, '0') || ':' || lpad('' || ((doc_id * 3) % 60), 2, '0') AS t
+            FROM documents""",
+        "motif_rfc5424": """
+            SELECT doc_id,
+                   (1970 + doc_id % 50) || '-' || lpad('' || (1 + doc_id % 12), 2, '0') || '-' || lpad('' || (1 + doc_id % 28), 2, '0')
+                   || 'T' || lpad('' || (doc_id % 24), 2, '0') || ':' || lpad('' || (doc_id % 60), 2, '0') || ':' || lpad('' || ((doc_id * 7) % 60), 2, '0') || 'Z' AS t
+            FROM documents""",
+        "motif_ipv6": """
+            SELECT doc_id, 'fe80::' || substr(md5('' || doc_id), 1, 4) || ':' || substr(md5('' || doc_id), 5, 4) AS v
+            FROM documents""",
+        "motif_cisco": """
+            SELECT doc_id, 'eth0' AS c_interface,
+                   '10.' || (doc_id % 250) || '.1.2' AS c_ip,
+                   '' || (1024 + doc_id % 60000) AS c_port,
+                   '10.9.' || (doc_id % 250) || '.1' AS c_ip2, '443' AS c_port2
+            FROM documents""",
+        "motif_cef": """
+            SELECT doc_id, 'sig' || (doc_id % 100) AS c_SignatureID, '' || (doc_id % 10) AS c_Severity,
+                   '10.0.0.' || (1 + doc_id % 200) AS c_Extensions_src,
+                   'hello world ' || doc_id AS c_Extensions_msg,
+                   'h' || doc_id AS c_Extensions_dst
+            FROM documents""",
+        "motif_checkpoint_lea": """
+            SELECT doc_id, 'VPN-1' AS c_product, '10.0.0.' || (1 + doc_id % 200) AS c_src,
+                   '' || (doc_id % 50) AS c_rule
+            FROM documents""",
+        "motif_repeat": """
+            SELECT doc_id, '' || (doc_id % 90) AS "ps[0]_a", '' || (doc_id % 9) AS "ps[0]_b",
+                   '' || (doc_id % 7) AS "ps[1]_a", '' || (doc_id % 5) AS "ps[1]_b"
+            FROM documents""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "join_topk_customers": """
+            WITH rev AS (
+                SELECT o_custkey, CAST(floor(sum(o_totalprice)) AS BIGINT) AS revenue_f
+                FROM orders GROUP BY o_custkey)
+            SELECT c_custkey AS custkey, c_name, revenue_f
+            FROM rev JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue_f DESC, custkey LIMIT 5""",
+        "events_window": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+                   count(*) AS n, CAST(floor(sum(value) * 100) AS BIGINT) AS sum_v_c
+            FROM events GROUP BY 1, 2""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)""",
+        "text_stats": """
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+              length(text) AS n_chars_calc,
+              CASE WHEN length(text) = 0 THEN 0
+                   ELSE CAST(floor((length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) END AS punct_millis,
+              CAST(
+                (CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 400 ELSE 0 END)
+                + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0 ELSE CAST(floor((length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) END) < 100 THEN 300 ELSE 0 END)
+                + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END) = 0 THEN 0
+                              ELSE CAST(floor(length(replace(text, ' ', '')) * 1000.0 / (CASE WHEN length(trim(text)) = 0 THEN 1 ELSE len(string_split(trim(text), ' ')) END)) AS BIGINT) END) BETWEEN 2000 AND 12000 THEN 300 ELSE 0 END)
+              AS BIGINT) AS quality_millis
+            FROM documents""",
+        "langid": """
+            WITH s AS (
+              SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) AS s_en,
+                (CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END) AS s_de,
+                (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END) AS s_fr,
+                (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% de %' THEN 1 ELSE 0 END) AS s_es
+              FROM s
+            )
+            SELECT doc_id,
+              -- first language (in en,de,fr,es order) reaching the max wins:
+              -- mirrors lang_id()'s strictly-greater update loop
+              CASE
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es'
+              END AS lang_pred
+            FROM sc""",
+        "fingerprint": """
+            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents""",
+        "knn_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) * 1000) AS BIGINT) AS cos_millis
+            FROM embeddings, q
+            ORDER BY cos_millis DESC, vec_id LIMIT 10""",
+    }
