@@ -1,0 +1,130 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": docs_per_sec, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ..., "scaling": {...}}
+
+The primary metric is normalized docs/sec through the full
+parse->enrich->route->aggregate pipeline (BASELINE.json).  With
+SPARK_GRAFT_SCALING=1 (or --scaling) the pipeline also runs at N=1/4 of
+the configured cores on the same input and reports
+efficiency = T(4N) / (4 * T(N)) — the sandbox evidence for the >=0.8
+scaling criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _bench_docs(sf_dir) -> int:
+    """Scale the synthesized corpus with the sf (docs = lineitem rows: the
+    driver's documents table is too small to measure throughput)."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_DOCS")
+    if env:
+        return int(env)
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+
+
+def _run_pipeline_once(spark, sf_dir, n_docs_override=None):
+    from liblognorm_spark.pipeline.pages import pages_df, pages_df_n
+    from liblognorm_spark.pipeline.pipeline import run_pipeline
+
+    if n_docs_override:
+        pages = pages_df_n(spark, n_docs_override)
+    else:
+        pages = pages_df(spark, sf_dir)
+    t0 = time.perf_counter()
+    rows = run_pipeline(spark, pages).collect()
+    dt = time.perf_counter() - t0
+    n_docs = sum(r["n"] for r in rows)
+    return dt, n_docs
+
+
+def _fresh_spark(cpus):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from liblognorm_spark.session import get_spark
+
+    return get_spark(app=f"bench[{cpus}]", cpus=cpus, shuffle_partitions=max(cpus, 8))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING") == "1" or "--scaling" in sys.argv
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as E
+
+    spark = _fresh_spark(cpus)
+
+    # warmup (JVM + Arrow init) on the small sf
+    _run_pipeline_once(spark, "/root/testdata/sf0.001")
+
+    queries: dict[str, float] = {}
+
+    bench_docs = _bench_docs(sf_dir)
+    t_pipe, n_docs = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
+    queries["pipeline"] = round(t_pipe, 3)
+    docs_per_sec = n_docs / t_pipe if t_pipe > 0 else 0.0
+
+    for name in (
+        "parse_sshd",
+        "dedup_exact",
+        "minhash_pairs",
+        "text_stats",
+        "knn_cosine",
+        "tpch_q1",
+        "events_window",
+    ):
+        fn = E.queries()[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    out = {
+        "metric": "normalized docs/sec (parse->enrich->route->aggregate)",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "cpus": cpus,
+    }
+
+    if do_scaling:
+        n_small = max(1, cpus // 4)
+        spark = _fresh_spark(n_small)
+        _run_pipeline_once(spark, "/root/testdata/sf0.001")  # warmup
+        t_small, _ = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
+        spark = _fresh_spark(cpus)
+        _run_pipeline_once(spark, "/root/testdata/sf0.001")
+        t_big, _ = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
+        eff = t_small / (4.0 * t_big) if t_big > 0 else 0.0
+        out["scaling"] = {
+            "n_cores": n_small,
+            "t_n_sec": round(t_small, 3),
+            "docs_per_sec_n": round(n_docs / t_small, 1),
+            "4n_cores": cpus,
+            "t_4n_sec": round(t_big, 3),
+            "docs_per_sec_4n": round(n_docs / t_big, 1),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

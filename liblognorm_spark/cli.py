@@ -1,0 +1,138 @@
+"""lognormalizer-equivalent CLI (reference: src/lognormalizer.c:343-530).
+
+Flags mirror the reference: -r/-R rulebase, -e encoder, -E encoder extra
+(csv field list), -p parsed-only, -P unparsed-only, -t tag filter, -T add
+originalmsg, -H summary, -s rule-stats.  Small inputs run the in-process
+batch matcher; --spark runs the same operators as a Spark job (the 100 TB
+path: spark-submit --py-files liblognorm_spark.zip -m liblognorm_spark.cli
+--spark ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json as _json
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="lognorm-spark", description=__doc__)
+    p.add_argument("-r", dest="rulebase", help="rulebase file")
+    p.add_argument("-R", dest="rulebase_string", help="rulebase as string")
+    p.add_argument("-e", dest="encoder", default="json",
+                   choices=["json", "xml", "csv", "rfc5424", "raw"])
+    p.add_argument("-E", dest="encoder_extra", default="",
+                   help="encoder extra data (csv: comma/space field list)")
+    p.add_argument("-p", dest="parsed_only", action="store_true",
+                   help="output only correctly parsed messages")
+    p.add_argument("-P", dest="unparsed_only", action="store_true",
+                   help="output only messages NOT parsed")
+    p.add_argument("-t", dest="tag", help="output only events with this tag")
+    p.add_argument("-T", dest="add_original", action="store_true",
+                   help="include originalmsg in parsed events")
+    p.add_argument("-H", dest="summary", action="store_true",
+                   help="print a summary line (records/parsed/unparsed)")
+    p.add_argument("-s", dest="stats", action="store_true",
+                   help="print per-rule hit stats to stderr")
+    p.add_argument("--spark", action="store_true", help="run distributed via Spark")
+    p.add_argument("--text-col", default="value", help="text column (--spark parquet input)")
+    p.add_argument("input", nargs="?", help="input file (default stdin)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.encoders import ENCODERS
+    from liblognorm_spark.rulebase.loader import Rulebase
+
+    if args.rulebase_string:
+        rb = Rulebase.from_string(args.rulebase_string)
+    elif args.rulebase:
+        rb = Rulebase.from_file(args.rulebase)
+    else:
+        print("error: no rulebase (-r/-R)", file=sys.stderr)
+        return 1
+    for e in rb.errors:
+        print(f"rulebase error: {e}", file=sys.stderr)
+    crb = compile_rulebase(rb)
+    csv_fields = [f for f in args.encoder_extra.replace(" ", ",").split(",") if f]
+    enc = ENCODERS[args.encoder]
+
+    if args.spark:
+        return _main_spark(args, crb, csv_fields)
+
+    if args.input:
+        with open(args.input, encoding="utf-8", errors="surrogateescape") as f:
+            lines = [ln.rstrip("\r\n") for ln in f]
+    else:
+        lines = [ln.rstrip("\r\n") for ln in sys.stdin]
+
+    from liblognorm_spark.runtime.matcher import match_batch
+
+    import pandas as pd
+
+    res = match_batch(crb, pd.Series(lines, dtype=object))
+    num_parsed = num_unparsed = num_wrongtag = 0
+    rule_hits: dict[int, int] = {}
+    for i in range(len(res)):
+        unparsed = res["unparsed_data"][i] is not None
+        if unparsed:
+            num_unparsed += 1
+        else:
+            num_parsed += 1
+            rid = int(res["rule_id"][i])
+            rule_hits[rid] = rule_hits.get(rid, 0) + 1
+        if args.parsed_only and unparsed:
+            continue
+        if args.unparsed_only and not unparsed:
+            continue
+        ev = _json.loads(res["fields_json"][i]) if res["fields_json"][i] else {}
+        if args.tag:
+            if args.tag not in (ev.get("event.tags") or []):
+                num_wrongtag += 1
+                continue
+        if args.add_original and not unparsed:
+            ev["originalmsg"] = lines[i]
+        print(enc(ev, csv_fields))
+    if args.summary:
+        print(f"{len(lines)} records processed, {num_parsed} parsed, {num_unparsed} unparsed",
+              file=sys.stderr)
+    if args.stats:
+        by_id = {cr.rule_id: cr.rule for cr in crb.rules}
+        for rid, n in sorted(rule_hits.items(), key=lambda kv: -kv[1]):
+            r = by_id.get(rid)
+            loc = f"{r.rb_file}:{r.rb_line}" if r else "?"
+            print(f"rule {rid} ({loc}): {n} matches", file=sys.stderr)
+    return 0
+
+
+def _main_spark(args, crb, csv_fields) -> int:
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.encoders import encode_df
+    from liblognorm_spark.runtime.matcher import normalize_df
+    from liblognorm_spark.session import get_spark
+
+    spark = get_spark(app="lognorm-spark-cli")
+    if args.input and args.input.endswith(".parquet"):
+        df = spark.read.parquet(args.input)
+        text_col = args.text_col
+    else:
+        df = spark.read.text(args.input)
+        text_col = "value"
+    out = normalize_df(df, crb, text_col=text_col)
+    if args.parsed_only:
+        out = out.filter(F.col("unparsed_data").isNull())
+    if args.unparsed_only:
+        out = out.filter(F.col("unparsed_data").isNotNull())
+    if args.tag:
+        out = out.filter(F.array_contains(F.col("tags"), args.tag))
+    out = encode_df(out, args.encoder, csv_fields)
+    for row in out.select("encoded").toLocalIterator():
+        print(row[0])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

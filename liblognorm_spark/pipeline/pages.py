@@ -72,6 +72,34 @@ def pages_df(spark, sf_dir: str, with_html: bool = False):
     return df
 
 
+def pages_df_n(spark, n_rows: int, with_html: bool = False):
+    """Bench-scale pages table: identical deterministic synthesis over
+    ``range(n_rows)`` (doc_id = id; the kind-7 raw text is md5-derived
+    instead of documents.text so no join is needed).  Used for throughput
+    measurement where the driver-provided documents table is too small to
+    exercise the engine; correctness oracles keep the documents-based
+    variant."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),  # raw-text stand-in
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "ja", "zh")]),
+            (F.col("id") % 6 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    base.createOrReplaceTempView("documents")
+    df = spark.sql(PAGES_SELECT)
+    df = df.withColumn("warc_ts", F.timestamp_seconds(F.col("warc_epoch")))
+    if with_html:
+        df = df.withColumn(
+            "html",
+            F.encode(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "UTF-8"),
+        )
+    return df
+
+
 # expected sink per kind, used by routing oracles (must mirror the fixture
 # rulebase in liblognorm_spark/pipeline/fixture_rulebase.py)
 SINK_BY_KIND = f"""(CASE {KIND}

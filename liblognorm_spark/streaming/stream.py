@@ -1,0 +1,80 @@
+"""Structured Streaming variant of the pipeline.
+
+The batch operators compose unchanged: normalize_df (mapInPandas) works on
+streaming DataFrames, so the stream is readStream -> parse -> enrich ->
+route -> windowed aggregate / fan-out sinks, with watermarks for late data
+and checkpointLocation for exactly-once resume — the incremental execution
+mode the reference CLI (stdin loop, src/lognormalizer.c:229-257) never
+had.
+"""
+
+from __future__ import annotations
+
+from liblognorm_spark.compiler.compiler import CompiledRulebase, compile_rulebase
+from liblognorm_spark.pipeline.fixture_rulebase import routing_rulebase
+from liblognorm_spark.rulebase.loader import Rulebase
+from liblognorm_spark.runtime.matcher import normalize_df
+
+PAGES_DDL = (
+    "doc_id long, url string, warc_epoch long, text string, lang string, "
+    "kind long, warc_ts timestamp"
+)
+
+
+def stream_pages(spark, input_dir: str, schema: str = PAGES_DDL):
+    return spark.readStream.schema(schema).parquet(input_dir)
+
+
+def normalize_stream(stream_df, rulebase_text: str | None = None, text_col: str = "text"):
+    rb = Rulebase.from_string(rulebase_text or routing_rulebase())
+    crb = compile_rulebase(rb)
+    return normalize_df(stream_df, crb, text_col=text_col)
+
+
+def windowed_sink_counts(parsed_stream, window: str = "5 minutes", watermark: str = "10 minutes"):
+    """Per-sink tumbling-window counts with a watermark for late rows."""
+    from pyspark.sql import functions as F
+
+    routed = parsed_stream.withColumn(
+        "sink",
+        F.when(F.col("unparsed_data").isNotNull(), F.lit("unparsed")).otherwise(
+            F.coalesce(F.element_at(F.col("tags"), 1), F.lit("untagged"))
+        ),
+    )
+    return (
+        routed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "sink")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "sink", "n")
+    )
+
+
+def start_memory_query(agg_stream, name: str = "stream_out", output_mode: str = "append"):
+    return (
+        agg_stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+def start_fanout_query(parsed_stream, out_dir: str, checkpoint_dir: str):
+    """Streaming fan-out with exactly-once resume: foreachBatch writes each
+    micro-batch partitioned by sink; checkpointLocation makes restart skip
+    completed batches."""
+    from pyspark.sql import functions as F
+
+    def write_batch(df, epoch_id: int):
+        routed = df.withColumn(
+            "sink",
+            F.when(F.col("unparsed_data").isNotNull(), F.lit("unparsed")).otherwise(
+                F.coalesce(F.element_at(F.col("tags"), 1), F.lit("untagged"))
+            ),
+        )
+        routed.write.mode("append").partitionBy("sink").parquet(out_dir)
+
+    return (
+        parsed_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

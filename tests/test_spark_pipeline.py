@@ -1,0 +1,173 @@
+"""Spark-level tests: pipeline stages, streaming, checkpoint resume,
+metrics, encoders, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REPO
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from liblognorm_spark.pipeline.pages import pages_df
+
+    return pages_df(spark, SF)
+
+
+def test_pipeline_counts(spark, pages):
+    from liblognorm_spark.pipeline.pipeline import run_pipeline
+
+    rows = {r["sink"]: r["n"] for r in run_pipeline(spark, pages).collect()}
+    assert sum(rows.values()) == 500
+    assert set(rows) == {"ssh", "ftp", "ident", "fw", "kv", "json", "net", "fallback"}
+
+
+def test_metrics_and_lineage(spark, pages):
+    from liblognorm_spark.pipeline.metrics import observe_run, partition_lineage, rule_stats, summary_line
+    from liblognorm_spark.pipeline.pipeline import parse_stage
+
+    parsed = parse_stage(spark, pages)
+    observed, obs = observe_run(parsed)
+    n = observed.count()
+    assert n == 500
+    assert obs.get["num_parsed"] == 500  # fallback rule catches everything
+    assert "500 records processed" in summary_line(obs)
+    stats = rule_stats(parsed).collect()
+    assert sum(r["n_matched"] for r in stats) == 500
+    assert len(stats) == 8  # eight rules incl. fallback
+    lin = partition_lineage(parsed).collect()
+    assert sum(r["n_rows"] for r in lin) == 500
+
+
+def test_checkpoint_resume(spark, pages, tmp_path):
+    from liblognorm_spark.pipeline.checkpoint import Manifest, run_resumable
+
+    out = str(tmp_path / "sinks")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_resumable(spark, pages, out, n_chunks=4, fail_after=2)
+    man = Manifest(os.path.join(out, "_manifest.json"))
+    assert len(man.completed) == 2
+    man2 = run_resumable(spark, pages, out, n_chunks=4)
+    assert len(man2.completed) == 4
+    # all rows present across chunk sinks
+    total = spark.read.option("basePath", out).parquet(out + "/chunk=*").count()
+    assert total == 500
+    # lineage recorded per chunk
+    assert all(man2.state["lineage"][str(c)] for c in range(4))
+
+
+def test_streaming_window_counts(spark, pages, tmp_path):
+    from liblognorm_spark.streaming.stream import (
+        normalize_stream,
+        start_memory_query,
+        stream_pages,
+        windowed_sink_counts,
+    )
+
+    src = str(tmp_path / "stream_src")
+    pages.write.mode("overwrite").parquet(src)
+    stream = stream_pages(spark, src)
+    assert stream.isStreaming
+    agg = windowed_sink_counts(normalize_stream(stream), window="1 hour")
+    q = start_memory_query(agg, name="t_stream", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT sink, sum(n) AS n FROM t_stream GROUP BY sink").collect()
+    finally:
+        q.stop()
+    got = {r["sink"]: r["n"] for r in rows}
+    assert sum(got.values()) == 500
+    assert got["ssh"] == 63
+
+
+def test_streaming_fanout_resume(spark, pages, tmp_path):
+    from liblognorm_spark.streaming.stream import normalize_stream, start_fanout_query, stream_pages
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages.write.mode("overwrite").parquet(src)
+    q = start_fanout_query(normalize_stream(stream_pages(spark, src)), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 500
+    # restart with same checkpoint: no reprocessing of the same files
+    q2 = start_fanout_query(normalize_stream(stream_pages(spark, src)), out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == 500
+
+
+def test_encoders():
+    from liblognorm_spark.encoders import encode_csv, encode_rfc5424, encode_xml
+
+    ev = {"event.tags": ["a", "b"], "msg": "hi,there", "num": "42"}
+    assert encode_rfc5424(ev) == '[cee@115 event.tags="b,a" msg="hi\\,there" num="42"]'
+    assert (
+        encode_xml(ev)
+        == "<event><event.tags><tag>b</tag><tag>a</tag></event.tags>"
+        '<field name="msg"><value>hi,there</value></field>'
+        '<field name="num"><value>42</value></field></event>'
+    )
+    assert encode_csv(ev, ["num", "missing", "msg"]) == '"42",,"hi,there"'
+
+
+def test_cli_end_to_end(tmp_path):
+    rb = tmp_path / "t.rulebase"
+    rb.write_text("version=2\nrule=tag1:%w:word% %n:number%\n")
+    inp = tmp_path / "in.log"
+    inp.write_text("hello 42\nnomatch line !\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb), "-H", str(inp)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0
+    lines = r.stdout.strip().split("\n")
+    ev0 = json.loads(lines[0])
+    assert ev0["w"] == "hello" and ev0["n"] == "42"
+    ev1 = json.loads(lines[1])
+    assert ev1["originalmsg"] == "nomatch line !"
+    assert "2 records processed, 1 parsed, 1 unparsed" in r.stderr
+
+
+def test_cli_filters_and_encoders(tmp_path):
+    rb = tmp_path / "t.rulebase"
+    rb.write_text("version=2\nrule=tag1:%w:word%\n")
+    inp = tmp_path / "in.log"
+    inp.write_text("hello\nbad line\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb), "-p",
+         "-e", "csv", "-E", "w", str(inp)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.stdout.strip() == '"hello"'
+    r2 = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb), "-P", str(inp)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    out = json.loads(r2.stdout.strip())
+    assert out["unparsed-data"] == " line"  # word consumed "bad" (longest parse)
+
+
+def test_multimodal_plumbing(spark, pages):
+    from liblognorm_spark.functions.multimodal import decode_media
+    from pyspark.sql import functions as F
+
+    df = pages.limit(10).withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    meta = decode_media(df, binary_col="html", id_cols=("url",)).collect()
+    assert len(meta) == 10
+    assert all(m["media_bytes"] > 0 and m["width"] >= 64 for m in meta)
+    # determinism
+    meta2 = decode_media(df, binary_col="html", id_cols=("url",)).collect()
+    assert sorted(m["media_md5"] for m in meta) == sorted(m["media_md5"] for m in meta2)
