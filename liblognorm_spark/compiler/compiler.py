@@ -83,51 +83,70 @@ FRAGMENTS: dict[str, Optional[Callable[[dict], Optional[str]]]] = {
     "duration": lambda p: r"[0-9]{1,2}:[0-5][0-9]:[0-5][0-9]",
     "ipv4": lambda p: IPV4_FRAG,
     "mac48": lambda p: r"[0-9a-fA-F]{2}(?:(?::[0-9a-fA-F]{2}){5}|(?:-[0-9a-fA-F]{2}){5})",
-    # superset fragments, exactness restored by walker validation:
-    "ipv6": lambda p: rf"(?>[0-9A-Fa-f:.]++)",
+    # superset fragment, exactness restored by walker validation:
+    "ipv6": lambda p: r"(?>[0-9A-Fa-f:.]++)",
+    # exact value-range fragments (mirror hParseInt leading-zero semantics):
+    # day 1-31, hour 0-23 (1971-2099 in hour position = year, skipped),
+    # minute 0-59, second 0-60, optional trailing ':' (parser.c:493-730)
     "date-rfc3164": lambda p: (
         r"(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
-        r"  ?[0-9]++ (?:[0-9]++ )?[0-9]++:[0-9]++:[0-9]++:?+"
+        r"  ?0*(?:3[01]|[12][0-9]|[1-9])(?![0-9])"
+        r" (?:0*(?:19(?:7[1-9]|[89][0-9])|20[0-9][0-9])(?![0-9]) )?"
+        r"0*(?:2[0-3]|1[0-9]|[0-9])(?![0-9])"
+        r":0*(?:[1-5][0-9]|[0-9])(?![0-9])"
+        r":0*(?:60|[1-5][0-9]|[0-9])(?![0-9]):?+"
     ),
     "date-rfc5424": lambda p: (
-        r"[0-9]++-[0-9]++-[0-9]++T[0-9]++:[0-9]++:[0-9]++"
-        r"(?:\.[0-9]*+)?(?:Z|[+-][0-9]++:[0-9]++)(?= |$)"
+        r"[0-9]++-0*(?:1[0-2]|[1-9])(?![0-9])-0*(?:3[01]|[12][0-9]|[1-9])(?![0-9])"
+        r"T0*(?:2[0-3]|1[0-9]|[0-9])(?![0-9]):0*(?:[1-5][0-9]|[0-9])(?![0-9])"
+        r":0*(?:60|[1-5][0-9]|[0-9])(?![0-9])(?:\.[0-9]*+)?"
+        r"(?:Z|[+-]0*(?:2[0-3]|1[0-9]|[0-9])(?![0-9]):0*(?:[1-5][0-9]|[0-9])(?![0-9]))(?= |$)"
     ),
+    # exact: name chars, value = non-space run, exactly one SP between
+    # fields, >=2 fields, consumes to EOS (parser.c:2212-2326)
     "v2-iptables": lambda p: (
-        rf"(?>[A-Z]++(?:=[^ \t\n\v\f\r]*+)?(?: [A-Z]++(?:=[^ \t\n\v\f\r]*+)?)++)(?![\s\S])"
+        r"(?>[A-Z]++(?:=[^ \t\n\v\f\r]*+)?(?: [A-Z]++(?:=[^ \t\n\v\f\r]*+)?)++)(?![\s\S])"
     ),
     "name-value-list": None,  # built dynamically in _frag_nvl
     "checkpoint-lea": lambda p: r"(?>(?: *+[^:]*+:[^;]*+;)++ *+)",
-    # walker-only motifs:
-    "json": None,
-    "cee-syslog": None,
-    "cef": None,
+    # greedy guarded fragments — the walker validator re-parses the span
+    # and Rejects when the true consumption differs (e.g. a non-terminal
+    # json motif), sending the row to the exact full walker:
+    "json": lambda p: r"(?=[{\]])(?s:.++)",
+    "cee-syslog": lambda p: r"@cee:[ \t\n\v\f\r]*+\{(?s:.*+)",
+    "cef": lambda p: r"CEF:0\|(?s:.*+)",
     "cisco-interface-spec": None,
     "string": None,
     "repeat": None,  # handled structurally (body/while may be regexable)
     "custom": None,  # handled structurally
 }
 
-# motifs whose captured span must be re-validated with the exact walker
-VALIDATE = {
-    "ipv6",
-    "date-rfc3164",
-    "date-rfc5424",
-    "v2-iptables",
-    "name-value-list",
-    "checkpoint-lea",
-    "repeat",
-}
-# motifs whose value comes from the walker parse (structured values or
-# value-transforming parsers, e.g. op-quoted-string strips quotes)
-WALKER_VALUE = VALIDATE | {
-    "json",
-    "cee-syslog",
-    "cef",
-    "cisco-interface-spec",
-    "string",
-    "op-quoted-string",
-}
+def _needs_walker(ptype: str, params: dict) -> bool:
+    """Does this capture need the exact walker for validation or value
+    construction?  Exact fragments with string values skip it entirely."""
+    if ptype in ("ipv6", "name-value-list", "checkpoint-lea", "repeat",
+                 "json", "cee-syslog", "cef", "cisco-interface-spec",
+                 "string", "op-quoted-string"):
+        return True
+    if ptype in ("date-rfc3164", "date-rfc5424"):
+        # fragment is exact; walker only needed for unix-epoch coercion
+        return params.get("format") not in (None, "string")
+    return False
+
+
+import re as _re_mod
+
+_IPT_PAIR_RE = _re_mod.compile(r"([A-Z]+)(?:=([^ \t\n\v\f\r]*))?")
+
+
+def _fast_iptables(raw: str) -> dict:
+    """Build the iptables map from an already-validated span (the fragment
+    is exact): duplicate names keep the last value, flags map to null
+    (parser.c:2260-2264)."""
+    out = {}
+    for m in _IPT_PAIR_RE.finditer(raw):
+        out[m.group(1)] = m.group(2)
+    return out
 
 
 def _frag_nvl(p) -> str:
@@ -169,7 +188,9 @@ class FieldSpec:
                 attach(child, fs.name, v)
             return child
         ptype = node.ptype
-        if ptype in WALKER_VALUE:
+        if ptype == "v2-iptables":
+            return _fast_iptables(raw)
+        if _needs_walker(ptype, node.params):
             start = m.start(self.gname)
             if ptype == "repeat":
                 from liblognorm_spark.runtime.walker import _parse_repeat
@@ -274,7 +295,33 @@ class CompiledRule:
     pattern: Optional[re.Pattern]  # None -> walker-only rule
     specs: list  # list[FieldSpec]
     prefilter: str  # literal prefix for cheap vectorized candidate filtering
+    frag: str = ""  # the raw fragment (for master-alternation assembly)
     order: int = 0
+    # split at compile: simple captures are plain string assignments
+    simple_specs: list = field(default_factory=list)  # [(gname, name)]
+    complex_specs: list = field(default_factory=list)  # [FieldSpec]
+    # constant per-rule event fields: event.tags + tag annotations
+    extra_fields: dict = field(default_factory=dict)
+
+    def finish(self, annotations: dict):
+        for fs in self.specs:
+            node = fs.node
+            if (
+                fs.sub is None
+                and not _needs_walker(node.ptype, node.params)
+                and "format" not in node.params
+                and "maxval" not in node.params
+                and node.ptype != "v2-iptables"
+            ):
+                self.simple_specs.append((fs.gname, fs.name))
+            else:
+                self.complex_specs.append(fs)
+        if self.tags:
+            self.extra_fields["event.tags"] = list(self.tags)
+            for tag in reversed(self.tags):  # reverse order, annot.c:229
+                for k, v in (annotations.get(tag) or {}).items():
+                    self.extra_fields[k] = v
+        return self
 
     @property
     def rule_id(self):
@@ -291,8 +338,12 @@ def _literal_prefix(seq) -> str:
     return ""
 
 
-def compile_rule(rule: Rule, types: dict) -> CompiledRule:
-    ctx = _Ctx(types)
+def compile_rule(rule: Rule, types: dict, ctx: _Ctx | None = None) -> CompiledRule:
+    """`ctx` may be shared across rules so group names stay unique inside a
+    master alternation."""
+    if ctx is None:
+        ctx = _Ctx(types)
+    ctx.regexable = True
     specs: list = []
     frag = _seq_fragment(rule.seq, ctx, specs, capture=True)
     pattern = None
@@ -306,7 +357,40 @@ def compile_rule(rule: Rule, types: dict) -> CompiledRule:
         pattern=pattern,
         specs=specs if pattern is not None else [],
         prefilter=_literal_prefix(rule.seq),
+        frag=frag if pattern is not None else "",
     )
+
+
+@dataclass
+class MatchCohort:
+    """A maximal run of consecutive (priority-ordered) regexable rules
+    merged into ONE alternation: each row needs a single fullmatch against
+    the cohort instead of one per rule.  First-match-wins is preserved —
+    regex alternation tries branches left to right, and branch order is
+    rule priority order (the same discipline the PDAG's per-node priority
+    sort enforces, src/pdag.c:378-398)."""
+
+    rules: list  # list[CompiledRule]
+    pattern: re.Pattern = None  # type: ignore[assignment]
+    markers: list = None  # type: ignore[assignment]  # group index per rule
+    by_marker: dict = None  # type: ignore[assignment]
+
+    def build(self):
+        frags = [f"(?P<R{cr.order}>{cr.frag})" for cr in self.rules]
+        self.pattern = re.compile("|".join(frags))
+        self.markers = [self.pattern.groupindex[f"R{cr.order}"] for cr in self.rules]
+        self.by_marker = dict(zip(self.markers, self.rules))
+        return self
+
+    def rule_for(self, m: re.Match):
+        # the branch's marker group closes last -> lastindex IS the marker
+        cr = self.by_marker.get(m.lastindex)
+        if cr is not None:
+            return cr
+        for cr, gi in zip(self.rules, self.markers):  # safety net
+            if m.group(gi) is not None:
+                return cr
+        return None
 
 
 # ------------------------------------------------------------ rule ordering
@@ -372,6 +456,7 @@ class CompiledRulebase:
     types: dict
     annotations: dict
     errors: list[str] = field(default_factory=list)
+    cohorts: list = field(default_factory=list)  # MatchCohort | CompiledRule
 
     @property
     def ordered_rules(self):
@@ -381,10 +466,28 @@ class CompiledRulebase:
 def compile_rulebase(rb: Rulebase) -> CompiledRulebase:
     order = order_rules(rb.rules)
     compiled = []
+    ctx = _Ctx(rb.types)
     for pos, idx in enumerate(order):
-        cr = compile_rule(rb.rules[idx], rb.types)
+        cr = compile_rule(rb.rules[idx], rb.types, ctx)
         cr.order = pos
+        cr.finish(rb.annotations)
         compiled.append(cr)
+    cohorts: list = []
+    run: list[CompiledRule] = []
+    for cr in compiled:
+        if cr.pattern is not None:
+            run.append(cr)
+        else:
+            if run:
+                cohorts.append(MatchCohort(rules=run).build())
+                run = []
+            cohorts.append(cr)  # walker-only rule
+    if run:
+        cohorts.append(MatchCohort(rules=run).build())
     return CompiledRulebase(
-        rules=compiled, types=rb.types, annotations=rb.annotations, errors=list(rb.errors)
+        rules=compiled,
+        types=rb.types,
+        annotations=rb.annotations,
+        errors=list(rb.errors),
+        cohorts=cohorts,
     )

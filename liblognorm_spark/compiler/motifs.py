@@ -646,43 +646,58 @@ def parse_v2_iptables(text, offs, params):
     return (n - offs, out)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _nv_regexes(sep: str, ass: str):
+    """Compiled pair-scanners for parseNameValue (src/parser.c:2404-2511).
+
+    The escaped-separator parity rule ("continue while separator is
+    preceded by an odd number of backslashes") is exactly the pair-scan
+    ``\\\\[\\s\\S]|[^\\\\<sep>]``; a lone trailing backslash at EOS is
+    consumed like the C loop does."""
+    if ass:
+        name_re = re.compile(rf"(?:(?!{re.escape(ass)})[\s\S])+")
+    else:
+        name_re = re.compile(r"[0-9A-Za-z._-]+")
+    sep_cls = re.escape(sep) if sep else " \\t\\n\\v\\f\\r"
+    bare_re = re.compile(rf"(?:\\[\s\S]|[^\\{sep_cls}])*+(?:\\(?![\s\S]))?")
+    dq_re = re.compile(r'"((?:\\[\s\S]|[^"\\])*+)"')
+    sq_re = re.compile(r"'((?:\\[\s\S]|[^'\\])*+)'")
+    return name_re, bare_re, dq_re, sq_re
+
+
 def _parse_name_value(text, i, n, out, sep, ass):
     """src/parser.c:2404-2511 (parseNameValue) incl. escaped-quote parity."""
-    i_name = i
-    if ass:
-        while i < n and text[i] != ass:
-            i += 1
-    else:
-        while i < n and (text[i].isalnum() and ord(text[i]) < 128 or text[i] in "._-"):
-            i += 1
-    if i == i_name or i >= n or (text[i] != (ass if ass else "=")):
+    name_re, bare_re, dq_re, sq_re = _nv_regexes(sep, ass)
+    mn = name_re.match(text, i)
+    if mn is None:
         return None
-    name = text[i_name:i]
+    i = mn.end()
+    if i >= n or text[i] != (ass if ass else "="):
+        return None
+    name = mn.group(0)
     i += 1  # skip assignator
-    quoting = text[i] if i < n and text[i] in "\"'" else None
-    if quoting:
-        i += 1
-    i_val = i
-    cont_bs = 0
-    if quoting:
-        while i < n and (text[i] != quoting or cont_bs % 2 == 1):
-            cont_bs = cont_bs + 1 if text[i] == "\\" else 0
-            i += 1
+    c = text[i] if i < n else ""
+    if c == '"':
+        mv = dq_re.match(text, i)
+        if mv is None:
+            return None
+        val = mv.group(1)
+        i = mv.end()
+    elif c == "'":
+        mv = sq_re.match(text, i)
+        if mv is None:
+            return None
+        val = mv.group(1)
+        i = mv.end()
     else:
-        while i < n and (
-            ((text[i] not in SPACE_SET) if not sep else (text[i] != sep)) or cont_bs % 2 == 1
-        ):
-            cont_bs = cont_bs + 1 if text[i] == "\\" else 0
-            i += 1
-    if i < n and quoting and text[i] == quoting:
-        i += 1
-        len_val = i - i_val - 1
-    elif quoting:
-        return None
-    else:
-        len_val = i - i_val
+        mv = bare_re.match(text, i)
+        val = mv.group(0)
+        i = mv.end()
     if out is not None:
-        out[name] = text[i_val : i_val + len_val]
+        out[name] = val
     return i
 
 

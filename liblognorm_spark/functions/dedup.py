@@ -51,23 +51,30 @@ def _word_shingles(col, k: int = SHINGLE_K):
 
 
 def _h64(col, seed: int):
-    """Deterministic 64-bit-ish hash: first 15 hex digits of md5(seed||s).
-    (15 digits keep the value positive in a signed 64-bit long.)"""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 15), 16, 10).cast(
-        "long"
-    )
+    """Deterministic seeded 64-bit hash (xxhash64 is JVM-native and far
+    cheaper than md5+conv; minhash needs determinism, not cross-engine
+    portability)."""
+    return F.xxhash64(F.lit(seed), col)
 
 
 def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: int = N_MINHASH):
-    """doc -> array<long> of n minhashes over word shingles."""
-    sh = _word_shingles(F.col(text_col))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: _h64(s, i)))
-            for i in range(n)
-        ]
+    """doc -> array<long> of n minhashes over word shingles.
+
+    Shape matters at scale: explode shingles once, compute the n seeded
+    hashes per shingle row, then groupBy(doc).min per hash — partial
+    aggregation combines map-side, and the shingle-construction expression
+    is evaluated exactly once (building n array_min(transform(...)) trees
+    over the raw expression would inline the shingle builder n times)."""
+    sh = df.select(
+        F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle")
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    hashed = sh.select(
+        id_col, *[_h64(F.col("shingle"), i).alias(f"h{i}") for i in range(n)]
+    )
+    agg = hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n)])
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n)]).alias("minhash")
+    )
 
 
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
@@ -97,9 +104,8 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             F.col("a.minhash").alias("mh_a"),
             F.col("b.minhash").alias("mh_b"),
         )
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])  # pair may collide in >1 band
     )
-    est = F.size(F.arrays_zip("mh_a", "mh_b").cast("array<struct<x:long,y:long>>")).alias("_")
     match_frac = (
         F.aggregate(
             F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
