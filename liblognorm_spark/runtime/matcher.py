@@ -189,11 +189,30 @@ def normalize_strings(rb: Rulebase | CompiledRulebase, lines: list[str]) -> list
 def normalize_df(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):
     """Spark entry point: adds match-result columns to `df`.
 
-    Uses mapInPandas so matching runs vectorized per Arrow batch; all other
-    columns are passed through untouched.
+    A struct-returning scalar pandas_udf over ONLY the text column: the
+    other input columns never cross the Arrow boundary (they stay JVM-side
+    and are re-attached by projection), which keeps the Python worker's
+    serialization bill proportional to the text, not the row width.
     """
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
+    crb = rb if isinstance(rb, CompiledRulebase) else compile_rulebase(rb)
+    struct_ddl = (
+        "struct<rule_id:int, tags:array<string>, fields_json:string, "
+        "unparsed_data:string, originalmsg:string, parsed_to:int, "
+        "rb_file:string, rb_line:int>"
+    )
+
+    @F.pandas_udf(struct_ddl)
+    def _match(s: pd.Series) -> pd.DataFrame:
+        return match_batch(crb, s)
+
+    return df.withColumn("_m", _match(F.col(text_col))).select("*", "_m.*").drop("_m")
+
+
+def normalize_df_mapinpandas(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):
+    """mapInPandas variant (kept for the CLI/streaming paths where the
+    whole batch is needed Python-side anyway)."""
     crb = rb if isinstance(rb, CompiledRulebase) else compile_rulebase(rb)
     in_schema = df.schema
     out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields)
