@@ -34,6 +34,8 @@ def build_parser():
                    help="print a summary line (records/parsed/unparsed)")
     p.add_argument("-s", dest="stats", action="store_true",
                    help="print per-rule hit stats to stderr")
+    p.add_argument("-d", dest="dot_file",
+                   help="write a DOT graph of the compiled rulebase and exit")
     p.add_argument("--spark", action="store_true", help="run distributed via Spark")
     p.add_argument("--text-col", default="value", help="text column (--spark parquet input)")
     p.add_argument("input", nargs="?", help="input file (default stdin)")
@@ -56,6 +58,12 @@ def main(argv=None) -> int:
     for e in rb.errors:
         print(f"rulebase error: {e}", file=sys.stderr)
     crb = compile_rulebase(rb)
+    if args.dot_file:
+        from liblognorm_spark.compiler.dot import rulebase_to_dot
+
+        with open(args.dot_file, "w") as f:
+            f.write(rulebase_to_dot(crb))
+        return 0
     csv_fields = [f for f in args.encoder_extra.replace(" ", ",").split(",") if f]
     enc = ENCODERS[args.encoder]
 

@@ -88,3 +88,23 @@ def test_from_string_api():
     json_subset_eq(
         {"h": "host", "w": "up"}, normalize_strings(rb, ["host: up"])[0]
     )
+
+
+def test_dot_graph(tmp_path):
+    # reference: lognormalizer -d writes a DOT graph (src/pdag.c:1091-1146)
+    import subprocess
+    import sys
+
+    from tests.conftest import REPO
+
+    rb = tmp_path / "t.rulebase"
+    rb.write_text("version=2\nrule=a:x %w:word%\nrule=b:x %n:number%\n")
+    dot = tmp_path / "g.dot"
+    r = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb), "-d", str(dot)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0
+    text = dot.read_text()
+    assert text.startswith("digraph pdag")
+    assert "tags: a" in text and "tags: b" in text and "number" in text
