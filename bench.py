@@ -105,25 +105,79 @@ def main():
     }
 
     if do_scaling:
-        n_small = max(1, cpus // 4)
-        spark = _fresh_spark(n_small)
-        _run_pipeline_once(spark, "/root/testdata/sf0.001")  # warmup
-        t_small, _ = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
-        spark = _fresh_spark(cpus)
-        _run_pipeline_once(spark, "/root/testdata/sf0.001")
-        t_big, _ = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
-        eff = t_small / (4.0 * t_big) if t_big > 0 else 0.0
-        out["scaling"] = {
-            "n_cores": n_small,
-            "t_n_sec": round(t_small, 3),
-            "docs_per_sec_n": round(n_docs / t_small, 1),
-            "4n_cores": cpus,
-            "t_4n_sec": round(t_big, 3),
-            "docs_per_sec_4n": round(n_docs / t_big, 1),
-            "efficiency": round(eff, 3),
-        }
+        out["scaling"] = _scaling_evidence(cpus, spark)
 
     print(json.dumps(out))
+
+
+_SCALE_CHILD = r"""
+import sys, time, json
+from pyspark.sql import SparkSession
+from liblognorm_spark.pipeline import pipeline as PL
+cpus, n, src = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+b = (SparkSession.builder.master(f"local[{cpus}]").appName("scale")
+     .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+     .config("spark.sql.adaptive.enabled", "true")
+     .config("spark.sql.session.timeZone", "UTC")
+     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+     .config("spark.driver.memory", "64g")
+     .config("spark.ui.enabled", "false"))
+sp = b.getOrCreate(); sp.sparkContext.setLogLevel("ERROR")
+PL.run_pipeline(sp, sp.read.parquet(src).limit(200000)).collect()
+times = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    PL.run_pipeline(sp, sp.read.parquet(src)).collect()
+    times.append(time.perf_counter() - t0)
+print(json.dumps({"cpus": cpus, "times": [round(t, 2) for t in times],
+                  "best_sec": round(min(times), 2)}))
+"""
+
+
+def _scaling_evidence(cpus: int, spark) -> dict:
+    """N vs 4N evidence (BASELINE.md): the same pipeline over the same
+    materialized parquet input at two parallelism levels, each level in a
+    clean subprocess JVM, best of 3 (the sandbox shows multi-x run-to-run
+    variance from shared-host noise)."""
+    import subprocess
+    import tempfile
+
+    from liblognorm_spark.pipeline.pages import pages_df_n
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "4800000"))
+    src = os.path.join(tempfile.gettempdir(), f"lls_scale_{n}")
+    if not os.path.exists(src):
+        pages_df_n(spark, n).write.mode("overwrite").parquet(src)
+    spark.stop()
+
+    child = os.path.join(tempfile.gettempdir(), "lls_scale_child.py")
+    with open(child, "w") as f:
+        f.write(_SCALE_CHILD)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+
+    def run(level: int) -> dict:
+        r = subprocess.run(
+            [sys.executable, child, str(level), str(n), src],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    n_small = max(1, cpus // 4)
+    small = run(n_small)
+    big = run(cpus)
+    eff = small["best_sec"] / (4.0 * big["best_sec"]) if big["best_sec"] else 0.0
+    return {
+        "n_docs": n,
+        "n_cores": n_small,
+        "t_n_sec": small["best_sec"],
+        "t_n_all": small["times"],
+        "docs_per_sec_n": round(n / small["best_sec"], 1),
+        "4n_cores": cpus,
+        "t_4n_sec": big["best_sec"],
+        "t_4n_all": big["times"],
+        "docs_per_sec_4n": round(n / big["best_sec"], 1),
+        "efficiency": round(eff, 3),
+    }
 
 
 if __name__ == "__main__":
