@@ -1,0 +1,83 @@
+"""Property tests: the vectorized regex fast path must agree with the
+exact-semantics walker on arbitrary inputs (the walker is the reference
+semantics; the regex path is an optimization that must be observationally
+identical)."""
+
+import json
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from liblognorm_spark.compiler.compiler import compile_rulebase
+from liblognorm_spark.pipeline.fixture_rulebase import routing_rulebase
+from liblognorm_spark.rulebase.loader import Rulebase
+from liblognorm_spark.runtime.matcher import match_batch
+from liblognorm_spark.runtime.walker import normalize_message
+
+RULEBASES = [
+    routing_rulebase(),
+    routing_rulebase(with_fallback=False),
+    # motif soup with priorities + types + alternatives
+    (
+        "version=2\n"
+        "type=@ip:%..:ipv4%\n"
+        "type=@ip:%..:ipv6%\n"
+        "rule=a:%f:@ip% %r:rest%\n"
+        "rule=b:n=%n:number% f=%f:float%\n"
+        "rule=c:%h:hexnumber% %m:mac48%\n"
+        "rule=d:%d:date-rfc5424% %w:word%\n"
+        "rule=e:%q:quoted-string%-%o:op-quoted-string%\n"
+        "rule=f:%a:alpha%%s:whitespace%%k:char-to:;%;\n"
+        "rule=g:%x:string-to:END%END\n"
+        "rule=h:%kv:name-value-list%\n"
+    ),
+]
+COMPILED = [(rb_text, compile_rulebase(Rulebase.from_string(rb_text))) for rb_text in RULEBASES]
+
+# generator biased toward near-miss log-looking strings
+log_text = st.one_of(
+    st.text(
+        alphabet="abcdef0123456789 .:-=[]{}\"'\\,;%\n\tXYZusershd",
+        min_size=0,
+        max_size=80,
+    ),
+    st.sampled_from(
+        [
+            "sshd[123]: Invalid user bob from 10.1.2.3",
+            "sshd[123]: Invalid user bob from 10.1.2.999",
+            "Oct 29 09:47:08 h1 ftpd: FTP session closed",
+            "Oct 29 09:47:08 h1 ftpd FTP session closed",
+            "iptables denied: IN= OUT=",
+            "a=1 b=2",
+            "a=1  b=2",
+            '{"k": [1, 2]}',
+            '{"k": ',
+            "12:34:56",
+            "0xff ",
+            "fe80::1 x",
+            "1.2.3.4",
+            '"quoted" z',
+            "abc ;x;",
+            "payloadEND",
+            "n=42 f=-.5",
+            "n=042 f=1.2.3",
+            "2024-01-02T03:04:05Z w",
+            "2024-1-2T3:4:5+01:00 w",
+        ]
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(idx=st.integers(0, len(COMPILED) - 1), text=log_text)
+def test_fast_path_equals_walker(idx, text):
+    rb_text, crb = COMPILED[idx]
+    fast = match_batch(crb, pd.Series([text], dtype=object))
+    rule, ev, _pto = normalize_message(crb.ordered_rules, text, crb.types, crb.annotations)
+    fast_rule = int(fast["rule_id"][0])
+    walker_rule = rule.rule_id if rule is not None else -1
+    assert fast_rule == walker_rule, (
+        f"rule mismatch for {text!r}: fast={fast_rule} walker={walker_rule}"
+    )
+    fast_ev = json.loads(fast["fields_json"][0]) if fast["fields_json"][0] else {}
+    assert fast_ev == ev, f"event mismatch for {text!r}:\n fast={fast_ev}\n walk={ev}"
