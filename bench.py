@@ -120,6 +120,7 @@ b = (SparkSession.builder.master(f"local[{cpus}]").appName("scale")
      .config("spark.sql.adaptive.enabled", "true")
      .config("spark.sql.session.timeZone", "UTC")
      .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+     .config("spark.sql.files.maxPartitionBytes", "16777216")
      .config("spark.driver.memory", "64g")
      .config("spark.ui.enabled", "false"))
 sp = b.getOrCreate(); sp.sparkContext.setLogLevel("ERROR")
