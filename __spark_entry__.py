@@ -326,6 +326,30 @@ def q_join_topk_customers(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    from liblognorm_spark.functions.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30).select(
+        "user_id", "session_seq", "n_events", "span_sec"
+    )
+
+
+def q_host_counts(spark, sf_dir):
+    """Skewed aggregation: host h0 carries ~50% of rows (AQE handles the
+    post-shuffle skew; two-level pre-agg keeps the map side balanced)."""
+    pages = _pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https://([^.]+)\.", 1)
+    return pages.groupBy(host.alias("host")).agg(F.count("*").alias("n"))
+
+
+def q_window_sink_counts(spark, sf_dir):
+    """Batch equivalent of the streaming windowed sink counts."""
+    routed = _routed(spark, sf_dir)
+    hour = (F.floor(F.col("warc_epoch") / 3600) * 3600).cast("long")
+    return routed.groupBy(hour.alias("hour_epoch"), "sink").agg(F.count("*").alias("n"))
+
+
 def q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -486,6 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_topk_customers": q_join_topk_customers,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "host_counts": q_host_counts,
+        "window_sink_counts": q_window_sink_counts,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -619,6 +646,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
                    count(*) AS n, CAST(floor(sum(value) * 100) AS BIGINT) AS sum_v_c
             FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_sec
+            FROM s GROUP BY user_id, session_seq""",
+        "host_counts": f"""{PAGES_CTE}
+            SELECT 'h' || {_HOST} AS host, count(*) AS n FROM pages GROUP BY 1""",
+        "window_sink_counts": f"""{PAGES_CTE}
+            SELECT CAST((warc_epoch // 3600) * 3600 AS BIGINT) AS hour_epoch,
+                   {P.SINK_BY_KIND} AS sink, count(*) AS n
+            FROM pages GROUP BY 1, 2""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM documents GROUP BY md5(text)""",

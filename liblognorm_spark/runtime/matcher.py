@@ -66,9 +66,16 @@ except ImportError:  # pragma: no cover
         return _json.dumps(ev, ensure_ascii=False, separators=(",", ":"))
 
 
-def match_batch(crb: CompiledRulebase, texts: pd.Series) -> pd.DataFrame:
+def match_batch(crb: CompiledRulebase, texts: pd.Series,
+                add_rule_location: bool = False,
+                add_originalmsg: bool = False) -> pd.DataFrame:
     """Normalize a batch of messages.  Returns a DataFrame with
-    MATCH_FIELDS_DDL columns, index-aligned positionally with `texts`."""
+    MATCH_FIELDS_DDL columns, index-aligned positionally with `texts`.
+
+    `add_rule_location` mirrors LN_CTXOPT_ADD_RULE_LOCATION
+    (src/pdag.c:1254-1263: metadata.rule.location {file,line});
+    `add_originalmsg` mirrors LN_CTXOPT_ADD_ORIGINALMSG
+    (src/pdag.c:1672-1677)."""
     n = len(texts)
     tvals = texts.to_numpy(dtype=object)
     rule_id = np.full(n, -1, dtype=np.int64)
@@ -91,6 +98,12 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series) -> pd.DataFrame:
 
     def _record(pos, cr, ev, t):
         _finalize_event(crb, cr, ev)
+        if add_originalmsg:
+            ev["originalmsg"] = t
+        if add_rule_location:
+            ev["metadata"] = {
+                "rule": {"location": {"file": cr.rule.rb_file, "line": cr.rule.rb_line}}
+            }
         rule_id[pos] = cr.rule_id
         tags[pos] = list(cr.tags)
         fields_json[pos] = _dumps(ev)
@@ -158,6 +171,12 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series) -> pd.DataFrame:
             originalmsg[pos] = ev["originalmsg"]
             fields_json[pos] = _dumps(ev)
         else:
+            if add_originalmsg:
+                ev["originalmsg"] = t
+            if add_rule_location:
+                ev["metadata"] = {
+                    "rule": {"location": {"file": rule.rb_file, "line": rule.rb_line}}
+                }
             rule_id[pos] = rule.rule_id
             tags[pos] = list(rule.tags)
             fields_json[pos] = _dumps(ev)
