@@ -647,20 +647,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, CAST(floor(sum(value) * 100) AS BIGINT) AS sum_v_c
             FROM events GROUP BY 1, 2""",
         "sessionize": """
+            -- floor(epoch(.)) per timestamp mirrors Spark unix_timestamp's
+            -- per-value second truncation (events carry microseconds)
             WITH g AS (
-              SELECT user_id, ts,
-                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
                           THEN 1 ELSE 0 END AS is_new
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (
-              SELECT user_id, ts,
-                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              SELECT user_id, es,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY es
                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
               FROM g
             )
             SELECT user_id, session_seq, count(*) AS n_events,
-                   CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_sec
+                   CAST(max(es) - min(es) AS BIGINT) AS span_sec
             FROM s GROUP BY user_id, session_seq""",
         "host_counts": f"""{PAGES_CTE}
             SELECT 'h' || {_HOST} AS host, count(*) AS n FROM pages GROUP BY 1""",
