@@ -1,0 +1,108 @@
+"""Targeted edge-case tests for C-semantics quirks emulated from the
+reference parsers (beyond what the ported corpus covers)."""
+
+from liblognorm_spark.rulebase.loader import Rulebase
+from liblognorm_spark.runtime.matcher import normalize_strings
+from tests.conftest import json_subset_eq
+
+
+def run1(rb_text, line):
+    return normalize_strings(Rulebase.from_string(rb_text), [line])[0]
+
+
+def test_hexnumber_eos_fails():
+    # parser.c:1017: hexnumber must be followed by isspace; EOS fails
+    out = run1("version=2\nrule=:%h:hexnumber%", "0xff")
+    assert "unparsed-data" in out
+    out = run1("version=2\nrule=:%h:hexnumber% ", "0xff ")
+    assert out.get("h") == "0xff"
+
+
+def test_hexnumber_empty_digits():
+    # C quirk: '0x' followed by space parses as '0x' (no digit required)
+    out = run1("version=2\nrule=:%h:hexnumber% x", "0x x")
+    assert out.get("h") == "0x"
+
+
+def test_float_lone_minus_and_dot():
+    # parser.c:883-941: '-' and '.' alone are valid floats (1 char consumed)
+    assert run1("version=2\nrule=:%f:float%!", "-!")["f"] == "-"
+    assert run1("version=2\nrule=:%f:float%!", ".!")["f"] == "."
+    assert run1("version=2\nrule=:%f:float%!", "-.5!")["f"] == "-.5"
+    # second dot terminates
+    assert run1("version=2\nrule=:%f:float%.3!", "1.2.3!")["f"] == "1.2"
+
+
+def test_rest_matches_empty():
+    # parser.c:1579-1593 + doc deviation: rest always succeeds, even empty
+    assert run1("version=2\nrule=:a%r:rest%", "a")["r"] == ""
+
+
+def test_char_sep_eos():
+    # parser.c:1518-1546: char-sep always succeeds, EOS ok, empty ok
+    assert run1("version=2\nrule=:%v:char-sep:;%", "abc")["v"] == "abc"
+    assert run1("version=2\nrule=:%v:char-sep:;%;x", ";x")["v"] == ""
+
+
+def test_quoted_asymmetry():
+    # quoted-string keeps quotes (parser.c:1678); op-quoted strips (1636)
+    assert run1("version=2\nrule=:%q:quoted-string%", '"hi"')["q"] == '"hi"'
+    assert run1("version=2\nrule=:%q:op-quoted-string%", '"hi"')["q"] == "hi"
+    # op-quoted unquoted word is NOT stripped
+    assert run1("version=2\nrule=:%q:op-quoted-string%", "hi")["q"] == "hi"
+
+
+def test_word_stops_at_space_only():
+    # word terminates only at 0x20, not tab (parser.c:1186-1211)
+    assert run1("version=2\nrule=:%w:word%", "a\tb")["w"] == "a\tb"
+
+
+def test_ipv4_no_backtrack_on_octets():
+    # chkIPv4AddrByte is greedy: '1.2.3.456' cannot shorten to '...45'
+    out = run1("version=2\nrule=:%i:ipv4%6", "1.2.3.456")
+    assert "unparsed-data" in out
+
+
+def test_ipv6_space_termination():
+    # parser.c:2154-2155: ipv6 must be followed by space or EOS
+    assert run1("version=2\nrule=:%i:ipv6%", "::1")["i"] == "::1"
+    out = run1("version=2\nrule=:%i:ipv6%,x", "::1,x")
+    assert "unparsed-data" in out
+
+
+def test_string_to_searches_from_offs_plus_one():
+    # parser.c:1222-1265: search starts at offs+1 -> value is >=1 char
+    assert run1("version=2\nrule=:%v:string-to:ab%ab", "xab")["v"] == "x"
+    out = run1("version=2\nrule=:%v:string-to:ab%ab", "ab")  # match at offs impossible
+    assert "unparsed-data" in out
+
+
+def test_number_maxval_rejects_whole_rule():
+    out = run1('version=2\nrule=:%n:number{"maxval":10}%', "11")
+    assert "unparsed-data" in out
+    assert run1('version=2\nrule=:%n:number{"maxval":10}%', "10")["n"] == "10"
+
+
+def test_rfc3164_quirks():
+    rb = "version=2\nrule=:%d:date-rfc3164% x"
+    # year in hour position skipped
+    assert run1(rb, "Oct 29 2016 09:47:08 x")["d"] == "Oct 29 2016 09:47:08"
+    # 1-digit day with double space
+    assert run1(rb, "Oct  9 09:47:08 x")["d"] == "Oct  9 09:47:08"
+    # trailing colon eaten
+    assert run1(rb, "Oct 29 09:47:08: x")["d"] == "Oct 29 09:47:08:"
+    # second 60 allowed (leap)
+    assert run1(rb, "Oct 29 09:47:60 x")["d"] == "Oct 29 09:47:60"
+    # mixed-case month
+    assert run1(rb, "oCt 29 09:47:08 x")["d"] == "oCt 29 09:47:08"
+
+
+def test_annotation_overrides_parsed_field():
+    # json_object_object_add replaces: annotation wins over parsed field
+    rb = 'version=2\nrule=t:%sev:word%\nannotate=t:+sev="forced"'
+    assert run1(rb, "low")["sev"] == "forced"
+
+
+def test_duplicate_field_leftmost_wins():
+    # bottom-up fixJSON attach: leftmost parser's value survives
+    assert run1("version=2\nrule=:%x:word% %x:number%", "a 5")["x"] == "a"
