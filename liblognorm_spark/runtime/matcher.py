@@ -216,17 +216,44 @@ def normalize_df(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):
     from pyspark.sql import functions as F
 
     crb = rb if isinstance(rb, CompiledRulebase) else compile_rulebase(rb)
+    # The udf returns only the per-row-varying fields; constants-per-rule
+    # (tags, rulebase location) are reconstructed JVM-side from rule_id via
+    # literal maps — they never cross the Arrow boundary, cutting the
+    # JVM-side batch decode that co-bottlenecks with Python at high core
+    # counts.
     struct_ddl = (
-        "struct<rule_id:int, tags:array<string>, fields_json:string, "
-        "unparsed_data:string, originalmsg:string, parsed_to:int, "
-        "rb_file:string, rb_line:int>"
+        "struct<rule_id:int, fields_json:string, "
+        "unparsed_data:string, originalmsg:string, parsed_to:int>"
     )
 
     @F.pandas_udf(struct_ddl)
     def _match(s: pd.Series) -> pd.DataFrame:
-        return match_batch(crb, s)
+        return match_batch(crb, s).drop(columns=["tags", "rb_file", "rb_line"])
 
-    return df.withColumn("_m", _match(F.col(text_col))).select("*", "_m.*").drop("_m")
+    out = df.withColumn("_m", _match(F.col(text_col))).select("*", "_m.*").drop("_m")
+    if crb.rules:
+        ids = F.array(*[F.lit(cr.rule_id) for cr in crb.rules])
+        tags_map = F.map_from_arrays(
+            ids, F.array(*[F.array(*[F.lit(t) for t in cr.tags]) for cr in crb.rules])
+        )
+        file_map = F.map_from_arrays(
+            ids, F.array(*[F.lit(cr.rule.rb_file) for cr in crb.rules])
+        )
+        line_map = F.map_from_arrays(
+            ids, F.array(*[F.lit(cr.rule.rb_line) for cr in crb.rules])
+        )
+        out = (
+            out.withColumn("tags", F.element_at(tags_map, F.col("rule_id")))
+            .withColumn("rb_file", F.element_at(file_map, F.col("rule_id")))
+            .withColumn("rb_line", F.element_at(line_map, F.col("rule_id")).cast("int"))
+        )
+    else:
+        out = (
+            out.withColumn("tags", F.lit(None).cast("array<string>"))
+            .withColumn("rb_file", F.lit(None).cast("string"))
+            .withColumn("rb_line", F.lit(None).cast("int"))
+        )
+    return out
 
 
 def normalize_df_mapinpandas(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):
