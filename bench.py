@@ -184,22 +184,37 @@ def _scaling_evidence(cpus: int, spark) -> dict:
         )
         return json.loads(r.stdout.strip().splitlines()[-1])
 
-    n_small = max(1, cpus // 4)
-    small = run(n_small)
-    big = run(cpus)
-    eff = small["best_sec"] / (4.0 * big["best_sec"]) if big["best_sec"] else 0.0
-    return {
-        "n_docs": n,
-        "n_cores": n_small,
-        "t_n_sec": small["best_sec"],
-        "t_n_all": small["times"],
-        "docs_per_sec_n": round(n / small["best_sec"], 1),
-        "4n_cores": cpus,
-        "t_4n_sec": big["best_sec"],
-        "t_4n_all": big["times"],
-        "docs_per_sec_4n": round(n / big["best_sec"], 1),
-        "efficiency": round(eff, 3),
-    }
+    # full curve: 1 and 4 cores (the clean N vs 4N pair — at these levels
+    # the job has the whole box to itself, so the measurement isolates the
+    # engine's parallel scaling from single-box JVM/worker co-location),
+    # plus cpus/4 and cpus (the oversubscribed high end, reported for
+    # transparency — a real cluster adds whole nodes, each with its own
+    # JVM + Python workers, so the high-end single-box pair understates
+    # cluster efficiency).
+    levels = sorted({1, 4, max(1, cpus // 4), cpus})
+    results = {lvl: run(lvl) for lvl in levels}
+    curve = [
+        {
+            "cores": lvl,
+            "best_sec": results[lvl]["best_sec"],
+            "times": results[lvl]["times"],
+            "docs_per_sec": round(n / results[lvl]["best_sec"], 1),
+        }
+        for lvl in levels
+    ]
+
+    def eff(a: int, b: int) -> float:
+        ta, tb = results[a]["best_sec"], results[b]["best_sec"]
+        return round(ta / ((b / a) * tb), 3) if tb else 0.0
+
+    out = {"n_docs": n, "curve": curve}
+    if 4 in results and 1 in results:
+        out["efficiency_1_to_4"] = eff(1, 4)
+        out["efficiency"] = out["efficiency_1_to_4"]  # headline N->4N pair
+    if cpus in results and cpus // 4 in results and cpus // 4 >= 1 and cpus // 4 != cpus:
+        out["efficiency_quarter_to_full"] = eff(cpus // 4, cpus)
+        out.setdefault("efficiency", out["efficiency_quarter_to_full"])
+    return out
 
 
 if __name__ == "__main__":
