@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the operators must not just return correct
+rows, they must compile to the plans we designed for 100 TB — broadcast
+joins for enrichment, column pruning into the parquet scan, partial
+aggregation, no Python in JVM-only stages."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrich_uses_broadcast_joins(spark):
+    from liblognorm_spark.pipeline.pages import pages_df
+    from liblognorm_spark.pipeline import pipeline as PL
+
+    parsed = PL.parse_stage(spark, pages_df(spark, SF))
+    enriched = PL.enrich_stage(spark, parsed)
+    plan = plan_of(enriched)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # a 2-column projection must not read all document columns
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id").where(docs.lang == "en")
+    plan = plan_of(q)
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+    # the lang filter is pushed to the scan
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan, plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    from liblognorm_spark.pipeline.pages import pages_df
+    from liblognorm_spark.pipeline import pipeline as PL
+
+    agg = PL.run_pipeline(spark, pages_df(spark, SF))
+    plan = plan_of(agg)
+    # partial (map-side) + final hash aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dedup_exact_is_single_shuffle_hashagg(spark):
+    from liblognorm_spark.functions.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(exact_dedup(docs))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pairs_no_cartesian(spark):
+    # candidate generation must be a bucket equi-join, never a cross join
+    from liblognorm_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_text_stats_pure_jvm(spark):
+    # text analysis must be whole-stage-codegen JVM, no Python eval nodes
+    from liblognorm_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(
+        T.token_count("text").alias("a"),
+        T.quality_score_millis("text").alias("b"),
+        T.lang_id("text").alias("c"),
+        T.fingerprint("text").alias("d"),
+    )
+    plan = plan_of(q)
+    assert "Python" not in plan, plan
+    assert "*(" in plan, plan  # '*(n)' prefix = inside WholeStageCodegen
+
+
+def test_knn_pure_jvm_and_topk(spark):
+    import __spark_entry__ as E
+
+    q = E.q_knn_cosine(spark, SF)
+    plan = plan_of(q)
+    assert "Python" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-k, not global sort
+
+
+def test_match_stage_single_python_eval(spark):
+    # exactly one ArrowEvalPython (the match udf); constants reattached
+    # JVM-side must not add more Python nodes
+    from liblognorm_spark.pipeline.pages import pages_df
+    from liblognorm_spark.pipeline import pipeline as PL
+
+    parsed = PL.parse_stage(spark, pages_df(spark, SF))
+    plan = plan_of(parsed)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
