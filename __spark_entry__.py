@@ -294,6 +294,83 @@ def q_motif_repeat(spark, sf_dir):
     )
 
 
+MOTIF_STRTO_TEXT = "('pre ' || doc_id || 'SEPtail')"
+MOTIF_STRTO_RB = "version=2\nrule=:pre %v:string-to:SEP%SEP%r:rest%\n"
+
+
+def q_motif_string_to(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_STRTO_TEXT, MOTIF_STRTO_RB, ["v", "r"])
+
+
+MOTIF_CHARSEP_TEXT = "('f1,' || (doc_id % 100) || ',,f4-' || doc_id)"
+MOTIF_CHARSEP_RB = "version=2\nrule=:%a:char-sep:,%,%b:char-sep:,%,%c:char-sep:,%,%d:rest%\n"
+
+
+def q_motif_char_sep(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_CHARSEP_TEXT, MOTIF_CHARSEP_RB, ["a", "b", "c", "d"])
+
+
+MOTIF_WORDS_TEXT = "('alpha' || (doc_id % 7) || '  w' || doc_id)"
+MOTIF_WORDS_RB = "version=2\nrule=:%a:alpha%%n:number%%s:whitespace%%w:word%\n"
+
+
+def q_motif_word_alpha_ws(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_WORDS_TEXT, MOTIF_WORDS_RB, ["a", "n", "s", "w"])
+
+
+MOTIF_TIMES_TEXT = (
+    "('t ' || lpad('' || (doc_id % 13), 2, '0') || ':' || lpad('' || (doc_id % 60), 2, '0')"
+    " || ':' || lpad('' || ((doc_id * 3) % 60), 2, '0') || ' d ' || (doc_id % 100) || ':'"
+    " || lpad('' || (doc_id % 60), 2, '0') || ':' || lpad('' || (doc_id % 60), 2, '0') || ' z')"
+)
+MOTIF_TIMES_RB = "version=2\nrule=:t %t:time-12hr% d %d:duration% z\n"
+
+
+def q_motif_time12_duration(spark, sf_dir):
+    df = _motif_df(spark, sf_dir, MOTIF_TIMES_TEXT, MOTIF_TIMES_RB, ["t", "d"])
+    return df
+
+
+MOTIF_KTS_TEXT = "('[' || lpad('' || (10000 + doc_id), 5, '0') || '.' || lpad('' || ((doc_id * 7919) % 1000000), 6, '0') || '] boot')"
+MOTIF_KTS_RB = "version=2\nrule=:%k:kernel-timestamp% boot\n"
+
+
+def q_motif_kernel_ts(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_KTS_TEXT, MOTIF_KTS_RB, ["k"])
+
+
+MOTIF_OPQ_TEXT = "(CASE WHEN doc_id % 2 = 0 THEN 'v \"x' || doc_id || '\" t' ELSE 'v y' || doc_id || ' t' END)"
+MOTIF_OPQ_RB = "version=2\nrule=:v %v:op-quoted-string% t\n"
+
+
+def q_motif_op_quoted(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_OPQ_TEXT, MOTIF_OPQ_RB, ["v"])
+
+
+MOTIF_CEE_TEXT = "('@cee: {\"pid\": ' || (1000 + doc_id % 9000) || ', \"unit\": \"u' || (doc_id % 30) || '\"}')"
+MOTIF_CEE_RB = "version=2\nrule=:%c:cee-syslog%\n"
+
+
+def q_motif_cee(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_CEE_TEXT, MOTIF_CEE_RB, ["c.pid", "c.unit"])
+
+
+MOTIF_STRING_TEXT = "('s \"a b' || (doc_id % 50) || '\" e')"
+MOTIF_STRING_RB = 'version=2\nrule=:s %v:string% e\n'
+
+
+def q_motif_string(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_STRING_TEXT, MOTIF_STRING_RB, ["v"])
+
+
+MOTIF_NVSEP_TEXT = "('a=' || (doc_id % 9) || ';b=x' || doc_id)"
+MOTIF_NVSEP_RB = 'version=2\nrule=:%f:name-value-list{"separator":";"}%\n'
+
+
+def q_motif_nvl_sep(spark, sf_dir):
+    return _motif_df(spark, sf_dir, MOTIF_NVSEP_TEXT, MOTIF_NVSEP_RB, ["f.a", "f.b"])
+
+
 # ---- relational / OLAP ----
 
 
@@ -506,6 +583,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_cef": q_motif_cef,
         "motif_checkpoint_lea": q_motif_checkpoint_lea,
         "motif_repeat": q_motif_repeat,
+        "motif_string_to": q_motif_string_to,
+        "motif_char_sep": q_motif_char_sep,
+        "motif_word_alpha_ws": q_motif_word_alpha_ws,
+        "motif_time12_duration": q_motif_time12_duration,
+        "motif_kernel_ts": q_motif_kernel_ts,
+        "motif_op_quoted": q_motif_op_quoted,
+        "motif_cee": q_motif_cee,
+        "motif_string": q_motif_string,
+        "motif_nvl_sep": q_motif_nvl_sep,
         # relational
         "tpch_q1": q_tpch_q1,
         "join_topk_customers": q_join_topk_customers,
@@ -628,6 +714,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '' || (doc_id % 90) AS "ps[0]_a", '' || (doc_id % 9) AS "ps[0]_b",
                    '' || (doc_id % 7) AS "ps[1]_a", '' || (doc_id % 5) AS "ps[1]_b"
             FROM documents""",
+        "motif_string_to": """
+            SELECT doc_id, '' || doc_id AS v, 'tail' AS r FROM documents""",
+        "motif_char_sep": """
+            SELECT doc_id, 'f1' AS a, '' || (doc_id % 100) AS b, '' AS c,
+                   'f4-' || doc_id AS d
+            FROM documents""",
+        "motif_word_alpha_ws": """
+            SELECT doc_id, 'alpha' AS a, '' || (doc_id % 7) AS n, '  ' AS s,
+                   'w' || doc_id AS w
+            FROM documents""",
+        "motif_time12_duration": """
+            SELECT doc_id,
+                   lpad('' || (doc_id % 13), 2, '0') || ':' || lpad('' || (doc_id % 60), 2, '0') || ':' || lpad('' || ((doc_id * 3) % 60), 2, '0') AS t,
+                   (doc_id % 100) || ':' || lpad('' || (doc_id % 60), 2, '0') || ':' || lpad('' || (doc_id % 60), 2, '0') AS d
+            FROM documents
+            WHERE (doc_id % 100) < 100 AND length('' || (doc_id % 100)) <= 2""",
+        "motif_kernel_ts": """
+            SELECT doc_id, '[' || lpad('' || (10000 + doc_id), 5, '0') || '.' || lpad('' || ((doc_id * 7919) % 1000000), 6, '0') || ']' AS k
+            FROM documents""",
+        "motif_op_quoted": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'x' || doc_id ELSE 'y' || doc_id END AS v
+            FROM documents""",
+        "motif_cee": """
+            SELECT doc_id, '' || (1000 + doc_id % 9000) AS c_pid, 'u' || (doc_id % 30) AS c_unit
+            FROM documents""",
+        "motif_string": """
+            SELECT doc_id, 'a b' || (doc_id % 50) AS v FROM documents""",
+        "motif_nvl_sep": """
+            SELECT doc_id, '' || (doc_id % 9) AS f_a, 'x' || doc_id AS f_b FROM documents""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
