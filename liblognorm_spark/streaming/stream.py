@@ -58,6 +58,44 @@ def start_memory_query(agg_stream, name: str = "stream_out", output_mode: str = 
     )
 
 
+def stateful_host_counters(parsed_stream):
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-host running parsed/unparsed counter that survives across
+    micro-batches (the streaming analogue of the reference CLI's per-run
+    counters, src/lognormalizer.c:219-265, but keyed and incremental)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = parsed_stream.withColumn(
+        "host", F.regexp_extract("url", r"^https://([^.]+)\.", 1)
+    ).select("host", "unparsed_data")
+
+    def update(key, pdfs, state: GroupState):
+        parsed = unparsed = 0
+        for pdf in pdfs:
+            unp = pdf["unparsed_data"].notna().sum()
+            unparsed += int(unp)
+            parsed += int(len(pdf) - unp)
+        if state.exists:
+            p0, u0 = state.get
+            parsed += p0
+            unparsed += u0
+        state.update((parsed, unparsed))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_parsed": [parsed], "n_unparsed": [unparsed]}
+        )
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, n_parsed long, n_unparsed long",
+        stateStructType="n_parsed long, n_unparsed long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_fanout_query(parsed_stream, out_dir: str, checkpoint_dir: str):
     """Streaming fan-out with exactly-once resume: foreachBatch writes each
     micro-batch partitioned by sink; checkpointLocation makes restart skip

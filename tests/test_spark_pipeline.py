@@ -171,3 +171,36 @@ def test_multimodal_plumbing(spark, pages):
     # determinism
     meta2 = decode_media(df, binary_col="html", id_cols=("url",)).collect()
     assert sorted(m["media_md5"] for m in meta) == sorted(m["media_md5"] for m in meta2)
+
+
+def test_stateful_host_counters(spark, pages, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches."""
+    from liblognorm_spark.streaming.stream import (
+        normalize_stream,
+        stateful_host_counters,
+        stream_pages,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    half1 = pages.filter("doc_id < 250")
+    half2 = pages.filter("doc_id >= 250")
+    half1.write.mode("overwrite").parquet(src)
+    agg = stateful_host_counters(normalize_stream(stream_pages(spark, src)))
+    q = (agg.writeStream.outputMode("update").format("memory")
+         .queryName("hostcnt").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # second micro-batch arrives: counters must accumulate
+        half2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT host, max(n_parsed) AS p FROM hostcnt GROUP BY host"
+        ).collect()
+    finally:
+        q.stop()
+    total = sum(r["p"] for r in rows)
+    assert total == 500  # all docs counted across both micro-batches
+    h0 = {r["host"]: r["p"] for r in rows}["h0"]
+    # hot host: all even doc_ids (250) + odd multiples of 97 (97, 291, 485)
+    assert h0 == 253
