@@ -362,34 +362,154 @@ def compile_rule(rule: Rule, types: dict, ctx: _Ctx | None = None) -> CompiledRu
 
 
 @dataclass
+class ExtractPlan:
+    """Per-rule extraction metadata for a trie cohort match."""
+
+    cr: "CompiledRule"
+    specs: list  # FieldSpecs along the rule's trie path (shared groups)
+    simple: list  # [(gname, name)] fast-path captures
+    has_complex: bool
+
+    @classmethod
+    def build(cls, cr, specs):
+        simple = []
+        has_complex = False
+        for fs in specs:
+            node = fs.node
+            if (
+                fs.sub is None
+                and not _needs_walker(node.ptype, node.params)
+                and "format" not in node.params
+                and "maxval" not in node.params
+                and node.ptype != "v2-iptables"
+            ):
+                simple.append((fs.gname, fs.name))
+            else:
+                has_complex = True
+        return cls(cr=cr, specs=specs, simple=simple, has_complex=has_complex)
+
+
+class _TrieNode:
+    __slots__ = ("item", "children", "ins", "terminals")
+
+    def __init__(self, item=None, ins=0):
+        self.item = item
+        self.children: dict = {}
+        self.ins = ins
+        self.terminals: list = []
+
+
+def _expand_items(seq):
+    """Literals split per char so rules share prefixes mid-literal, exactly
+    like the PDAG's one-node-per-char loading (src/samp.c:320-325)."""
+    for item in seq:
+        if isinstance(item, PNode) and item.ptype == "literal" and item.name is None:
+            for ch in item.params["text"]:
+                yield PNode(ptype="literal", name=None, params={"text": ch},
+                            user_prio=item.user_prio)
+        else:
+            yield item  # named literals keep their capture; Alt/customs opaque
+
+
+def _edge_key(item):
+    if isinstance(item, Alt):
+        ident = _json.dumps(
+            [[_node_ident(n) for n in s if isinstance(n, PNode)] for s in item.alts],
+            sort_keys=True,
+        )
+        return (item.prio, "alt:" + ident)
+    return (item.prio, _node_ident(item))
+
+
+def _is_plain_lit(item) -> bool:
+    return isinstance(item, PNode) and item.ptype == "literal" and item.name is None
+
+
+@dataclass
 class MatchCohort:
     """A maximal run of consecutive (priority-ordered) regexable rules
-    merged into ONE alternation: each row needs a single fullmatch against
-    the cohort instead of one per rule.  First-match-wins is preserved —
-    regex alternation tries branches left to right, and branch order is
-    rule priority order (the same discipline the PDAG's per-node priority
-    sort enforces, src/pdag.c:378-398)."""
+    fused into ONE trie-factored pattern: rules share prefixes exactly like
+    the reference PDAG (src/pdag.c:847-866), so per-row match cost stays
+    near-constant as the rulebase grows instead of O(rules).  Branch order
+    inside every trie node is combined-priority order with insertion-order
+    tie-break (src/pdag.c:378-398); a terminal is an empty marker group
+    tried first, which matches iff the input ends there (the PDAG's
+    terminal-at-EOS acceptance, src/pdag.c:1608-1612)."""
 
     rules: list  # list[CompiledRule]
     pattern: re.Pattern = None  # type: ignore[assignment]
-    markers: list = None  # type: ignore[assignment]  # group index per rule
-    by_marker: dict = None  # type: ignore[assignment]
+    by_marker: dict = None  # type: ignore[assignment]  # group index -> ExtractPlan
 
-    def build(self):
-        frags = [f"(?P<R{cr.order}>{cr.frag})" for cr in self.rules]
-        self.pattern = re.compile("|".join(frags))
-        self.markers = [self.pattern.groupindex[f"R{cr.order}"] for cr in self.rules]
-        self.by_marker = dict(zip(self.markers, self.rules))
+    def build(self, ctx: "_Ctx" = None, types: dict | None = None):
+        if ctx is None:
+            ctx = _Ctx(types or {})
+        root = _TrieNode()
+        for cr in self.rules:
+            node = root
+            for item in _expand_items(cr.rule.seq):
+                k = _edge_key(item)
+                child = node.children.get(k)
+                if child is None:
+                    child = _TrieNode(item=item, ins=len(node.children))
+                    node.children[k] = child
+                node = child
+            node.terminals.append(cr)
+
+        plans: dict[int, ExtractPlan] = {}  # marker name order -> plan
+        path_specs: list = []
+
+        def emit(node: _TrieNode) -> str:
+            parts = []
+            if node.terminals:
+                cr = node.terminals[0]  # duplicates coalesce: first wins
+                plans[cr.order] = ExtractPlan.build(cr, list(path_specs))
+                parts.append(f"(?P<R{cr.order}>)")
+            for child in sorted(node.children.values(), key=lambda c: (_edge_key(c.item)[0], c.ins)):
+                # compact single-child unnamed-literal chains (the PDAG's
+                # literal path compaction, src/pdag.c:345-375)
+                lits = []
+                cur = child
+                while (
+                    _is_plain_lit(cur.item)
+                    and not cur.terminals
+                    and len(cur.children) == 1
+                    and _is_plain_lit(next(iter(cur.children.values())).item)
+                ):
+                    lits.append(cur.item.params["text"])
+                    cur = next(iter(cur.children.values()))
+                if _is_plain_lit(cur.item):
+                    lits.append(cur.item.params["text"])
+                    frag = re.escape("".join(lits))
+                    sub = emit(cur)
+                else:
+                    mark = len(path_specs)
+                    frag = re.escape("".join(lits)) + _item_fragment(
+                        cur.item, ctx, path_specs, capture=True
+                    )
+                    sub = emit(cur)
+                    del path_specs[mark:]
+                parts.append(frag + sub)
+            if not parts:
+                return ""
+            if len(parts) == 1:
+                return parts[0]
+            return "(?:" + "|".join(parts) + ")"
+
+        pattern_src = emit(root)
+        self.pattern = re.compile(pattern_src)
+        self.by_marker = {
+            self.pattern.groupindex[f"R{order}"]: plan for order, plan in plans.items()
+        }
         return self
 
-    def rule_for(self, m: re.Match):
-        # the branch's marker group closes last -> lastindex IS the marker
-        cr = self.by_marker.get(m.lastindex)
-        if cr is not None:
-            return cr
-        for cr, gi in zip(self.rules, self.markers):  # safety net
+    def plan_for(self, m: re.Match):
+        # the rule's marker group closes last -> lastindex IS the marker
+        plan = self.by_marker.get(m.lastindex)
+        if plan is not None:
+            return plan
+        for gi, plan in self.by_marker.items():  # safety net
             if m.group(gi) is not None:
-                return cr
+                return plan
         return None
 
 
@@ -472,18 +592,29 @@ def compile_rulebase(rb: Rulebase) -> CompiledRulebase:
         cr.order = pos
         cr.finish(rb.annotations)
         compiled.append(cr)
+    # CPython allocates a span slot for EVERY group in a pattern on each
+    # successful match, so one giant trie would make match cost O(total
+    # rules).  Chunking runs into <=MAX_COHORT_RULES keeps the allocation
+    # bounded; a failed chunk attempt is cheap (no Match object), so the
+    # sequential chunk scan costs ~0.5us per miss.
+    MAX_COHORT_RULES = 64
     cohorts: list = []
     run: list[CompiledRule] = []
+
+    def flush_run():
+        nonlocal run
+        for i in range(0, len(run), MAX_COHORT_RULES):
+            chunk = run[i : i + MAX_COHORT_RULES]
+            cohorts.append(MatchCohort(rules=chunk).build(ctx, rb.types))
+        run = []
+
     for cr in compiled:
         if cr.pattern is not None:
             run.append(cr)
         else:
-            if run:
-                cohorts.append(MatchCohort(rules=run).build())
-                run = []
+            flush_run()
             cohorts.append(cr)  # walker-only rule
-    if run:
-        cohorts.append(MatchCohort(rules=run).build())
+    flush_run()
     return CompiledRulebase(
         rules=compiled,
         types=rb.types,

@@ -117,28 +117,30 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
             break
         idxs = np.flatnonzero(remaining)
         if isinstance(cohort, MatchCohort):
-            # one anchored fullmatch per row against the whole cohort
+            # one anchored fullmatch per row against the trie-factored
+            # pattern for the whole cohort
             fullmatch = cohort.pattern.fullmatch
-            rule_for = cohort.rule_for
+            plan_for = cohort.plan_for
             for pos in idxs:
                 t = tvals[pos]
                 m = fullmatch(t)
                 if m is None:
                     continue
-                cr = rule_for(m)
+                plan = plan_for(m)
+                cr = plan.cr
                 try:
                     ev: dict = {}
                     # reversed: leftmost parser attaches last and wins on
                     # duplicate names (bottom-up fixJSON, src/pdag.c:1584)
-                    if cr.complex_specs:
-                        for fs in reversed(cr.specs):
+                    if plan.has_complex:
+                        for fs in reversed(plan.specs):
                             v = fs.extract(m, t, types)
                             if v is _NOT_PART:
                                 continue
                             attach(ev, fs.name, v)
                     else:  # fast path: all captures are plain strings
                         group = m.group
-                        for gname, name in reversed(cr.simple_specs):
+                        for gname, name in reversed(plan.simple):
                             v = group(gname)
                             if v is not None:
                                 ev[name] = v

@@ -173,12 +173,30 @@ def match_rule(rule: Rule, text: str, types: dict, state: WalkState | None = Non
     return None
 
 
+def _lit_prefix(rule) -> str:
+    pref = getattr(rule, "_lit_prefix_cache", None)
+    if pref is None:
+        seq = rule.seq
+        pref = ""
+        if seq and isinstance(seq[0], PNode) and seq[0].ptype == "literal" and seq[0].name is None:
+            pref = seq[0].params["text"]
+        rule._lit_prefix_cache = pref
+    return pref
+
+
 def normalize_message(rules, text: str, types: dict, annotations=None):
     """Full reference semantics for one message: first matching rule wins
     (rules must already be in priority order); on failure emit
-    originalmsg/unparsed-data (src/pdag.c:1653-1683, 1299-1316)."""
+    originalmsg/unparsed-data (src/pdag.c:1653-1683, 1299-1316).
+
+    Rules whose leading literal cannot prefix the text are skipped — an
+    all-or-nothing leading-literal failure contributes neither a match nor
+    parsedTo progress, so the skip is observationally identical."""
     state = WalkState(text=text, strlen=len(text), types=types)
     for rule in rules:
+        pref = _lit_prefix(rule)
+        if pref and not text.startswith(pref):
+            continue
         fields: dict = {}
         if walk_seq(state, rule.seq, 0, 0, False, fields, None):
             event = dict(fields)
