@@ -24,6 +24,13 @@ from liblognorm_spark.pipeline import pipeline as PL
 PAGES_CTE = f"WITH pages AS ({P.PAGES_SELECT})"
 
 
+def _ensure_utc(spark):
+    """Timestamp-dependent queries compare against DuckDB's UTC-naive
+    timestamps; pin the session timezone in case the driver's session
+    differs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _pages(spark, sf_dir):
     return P.pages_df(spark, sf_dir)
 
@@ -375,6 +382,7 @@ def q_motif_nvl_sep(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
+    _ensure_utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
@@ -404,6 +412,7 @@ def q_join_topk_customers(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
+    _ensure_utc(spark)
     from liblognorm_spark.functions.sessions import session_stats
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -428,6 +437,7 @@ def q_window_sink_counts(spark, sf_dir):
 
 
 def q_events_window(spark, sf_dir):
+    _ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
