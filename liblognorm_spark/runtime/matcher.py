@@ -7,17 +7,19 @@ Execution model (the Spark-first replacement for the reference's per-message
   and shipped to executors inside the ``mapInPandas`` closure — the
   broadcast-once / read-many design of the reference's immutable PDAG
   (doc/pdag_implementation_model.rst:117-123).
-* Matching runs per Arrow batch: for each rule in priority order, a
-  vectorized ``startswith`` prefilter plus one pandas ``str.fullmatch``
-  over the still-unmatched rows (two-stage detect-then-extract, the same
-  shape as the reference's stage-one/stage-two parsers,
-  src/parser.c:2276-2318); named-group extraction runs only on confirmed
-  matches.
+* Matching runs per Arrow batch: ONE anchored fullmatch per row against
+  each trie-factored cohort pattern (prefix sharing + priority branch
+  order, the PDAG discipline); the matched rule is identified by its
+  marker group via ``lastindex`` and extraction runs only on confirmed
+  matches (two-stage detect-then-extract, same shape as the reference's
+  stage-one/stage-two parsers, src/parser.c:2276-2318).
 * Rows whose regex match fails value-dependent validation (Reject) and
-  rows matching no rule regex fall back to the exact-semantics walker,
-  which also produces the ``unparsed-data`` longest-parse diagnostics.
+  rows matching no cohort fall back to the exact-semantics walker over a
+  prefix-indexed candidate set, which also produces the
+  ``unparsed-data`` longest-parse diagnostics.
 
-No per-row Python crosses the Spark API surface: the only entry point is
+No per-row Python crosses the Spark API surface: the entry points are a
+struct-returning scalar pandas_udf (``normalize_df``) and
 ``mapInPandas`` over Arrow record batches.
 """
 
@@ -112,14 +114,17 @@ def _fallback_index(crb: CompiledRulebase):
 
 def match_batch(crb: CompiledRulebase, texts: pd.Series,
                 add_rule_location: bool = False,
-                add_originalmsg: bool = False) -> pd.DataFrame:
+                add_originalmsg: bool = False,
+                add_rule_mockup: bool = False) -> pd.DataFrame:
     """Normalize a batch of messages.  Returns a DataFrame with
     MATCH_FIELDS_DDL columns, index-aligned positionally with `texts`.
 
     `add_rule_location` mirrors LN_CTXOPT_ADD_RULE_LOCATION
     (src/pdag.c:1254-1263: metadata.rule.location {file,line});
     `add_originalmsg` mirrors LN_CTXOPT_ADD_ORIGINALMSG
-    (src/pdag.c:1672-1677)."""
+    (src/pdag.c:1672-1677); `add_rule_mockup` mirrors LN_CTXOPT_ADD_RULE
+    (src/pdag.c:1246-1251: metadata.rule.mockup, the matched rule's
+    template)."""
     n = len(texts)
     tvals = texts.to_numpy(dtype=object)
     # plain lists: scalar assignment is ~3x cheaper than numpy setitem
@@ -145,10 +150,13 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
         _finalize_event(crb, cr, ev)
         if add_originalmsg:
             ev["originalmsg"] = t
-        if add_rule_location:
-            ev["metadata"] = {
-                "rule": {"location": {"file": cr.rule.rb_file, "line": cr.rule.rb_line}}
-            }
+        if add_rule_location or add_rule_mockup:
+            meta_rule = {}
+            if add_rule_mockup:
+                meta_rule["mockup"] = cr.rule.raw
+            if add_rule_location:
+                meta_rule["location"] = {"file": cr.rule.rb_file, "line": cr.rule.rb_line}
+            ev["metadata"] = {"rule": meta_rule}
         rule_id[pos] = cr.rule_id
         tags[pos] = list(cr.tags)
         fields_json[pos] = _dumps(ev)
@@ -222,10 +230,13 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
         else:
             if add_originalmsg:
                 ev["originalmsg"] = t
-            if add_rule_location:
-                ev["metadata"] = {
-                    "rule": {"location": {"file": rule.rb_file, "line": rule.rb_line}}
-                }
+            if add_rule_location or add_rule_mockup:
+                meta_rule = {}
+                if add_rule_mockup:
+                    meta_rule["mockup"] = rule.raw
+                if add_rule_location:
+                    meta_rule["location"] = {"file": rule.rb_file, "line": rule.rb_line}
+                ev["metadata"] = {"rule": meta_rule}
             rule_id[pos] = rule.rule_id
             tags[pos] = list(rule.tags)
             fields_json[pos] = _dumps(ev)
