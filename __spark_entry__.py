@@ -451,6 +451,19 @@ def q_events_window(spark, sf_dir):
 # ---- training-data operators ----
 
 
+def q_events_props_json(spark, sf_dir):
+    """Schema-on-read: parse the events.props JSON string column with an
+    explicit schema (from_json), aggregate on the extracted field."""
+    from pyspark.sql import types as T
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.select(F.from_json("props", schema).alias("p"), "event_type")
+    return parsed.groupBy((F.col("p.k") % 10).alias("k_mod")).agg(
+        F.count("*").alias("n"), F.sum("p.k").alias("sum_k")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from liblognorm_spark.functions.dedup import exact_dedup
 
@@ -610,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_counts": q_host_counts,
         "window_sink_counts": q_window_sink_counts,
         # training-data ops
+        "events_props_json": q_events_props_json,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "langid": q_langid,
@@ -798,6 +812,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((warc_epoch // 3600) * 3600 AS BIGINT) AS hour_epoch,
                    {P.SINK_BY_KIND} AS sink, count(*) AS n
             FROM pages GROUP BY 1, 2""",
+        "events_props_json": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+                   count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY 1""",
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM documents GROUP BY md5(text)""",

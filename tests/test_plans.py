@@ -101,3 +101,19 @@ def test_match_stage_single_python_eval(spark):
     plan = plan_of(parsed)
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_sink_partition_pruning(spark, tmp_path):
+    # reading one sink from the fan-out layout must prune partitions
+    from liblognorm_spark.pipeline.pages import pages_df
+    from liblognorm_spark.pipeline import pipeline as PL
+
+    routed = PL.route_stage(
+        PL.enrich_stage(spark, PL.parse_stage(spark, pages_df(spark, SF)))
+    ).drop("tags")
+    out = str(tmp_path / "sinks")
+    routed.select("doc_id", "url", "sink").write.partitionBy("sink").parquet(out)
+    q = spark.read.parquet(out).where("sink = 'ssh'")
+    assert q.count() == 63
+    plan = plan_of(q)
+    assert "PartitionFilters: [isnotnull(sink" in plan, plan
