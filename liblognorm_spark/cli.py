@@ -51,7 +51,11 @@ def main(argv=None) -> int:
     if args.rulebase_string:
         rb = Rulebase.from_string(args.rulebase_string)
     elif args.rulebase:
-        rb = Rulebase.from_file(args.rulebase)
+        try:
+            rb = Rulebase.from_file(args.rulebase)
+        except OSError as e:
+            print(f"error: cannot open rulebase '{args.rulebase}': {e.strerror}", file=sys.stderr)
+            return 1
     else:
         print("error: no rulebase (-r/-R)", file=sys.stderr)
         return 1

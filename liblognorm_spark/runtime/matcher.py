@@ -60,7 +60,13 @@ try:  # orjson: ~5x faster serialization, same utf-8 output
     import orjson as _orjson
 
     def _dumps(ev: dict) -> str:
-        return _orjson.dumps(ev).decode()
+        try:
+            return _orjson.dumps(ev).decode()
+        except TypeError:
+            # orjson rejects surrogate-escaped strings (undecodable input
+            # bytes round-tripped via errors='surrogateescape'); the
+            # reference is byte-oriented and must not crash on them
+            return _json.dumps(ev, ensure_ascii=False, separators=(",", ":"))
 
 except ImportError:  # pragma: no cover
 
