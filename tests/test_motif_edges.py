@@ -106,3 +106,30 @@ def test_annotation_overrides_parsed_field():
 def test_duplicate_field_leftmost_wins():
     # bottom-up fixJSON attach: leftmost parser's value survives
     assert run1("version=2\nrule=:%x:word% %x:number%", "a 5")["x"] == "a"
+
+
+def test_surrogate_bytes_serialize():
+    # undecodable input bytes (errors='surrogateescape') must not crash
+    # serialization — the reference is byte-oriented (NUL-safe, UTF-8
+    # "passive mode", liblognorm.h:24-35)
+    raw = b"\xff\xfe\x00weird".decode("utf-8", errors="surrogateescape")
+    out = run1("version=2\nrule=:%w:word%\n", raw)
+    assert out.get("originalmsg") == raw or "w" in out
+
+
+def test_rule_metadata_options():
+    import pandas as pd
+
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.runtime.matcher import match_batch
+    import json
+
+    crb = compile_rulebase(Rulebase.from_string("version=2\nrule=t:%w:word%\n"))
+    r = match_batch(
+        crb, pd.Series(["hi"]),
+        add_rule_location=True, add_rule_mockup=True, add_originalmsg=True,
+    )
+    ev = json.loads(r["fields_json"][0])
+    assert ev["originalmsg"] == "hi"
+    assert ev["metadata"]["rule"]["mockup"] == "%w:word%"
+    assert ev["metadata"]["rule"]["location"]["line"] == 2
