@@ -133,3 +133,19 @@ def test_rule_metadata_options():
     assert ev["originalmsg"] == "hi"
     assert ev["metadata"]["rule"]["mockup"] == "%w:word%"
     assert ev["metadata"]["rule"]["location"]["line"] == 2
+
+
+def test_duration_ported():
+    # hand-ported tests/field_duration.sh (its last case uses
+    # assert_output_contains which the auto-porter skips)
+    rb = "version=2\nrule=:duration %field:duration% bytes\nrule=:duration %field:duration%\n"
+    for line, want in [
+        ("duration 0:00:42 bytes", "0:00:42"),
+        ("duration 0:00:42", "0:00:42"),
+        ("duration 9:00:42 bytes", "9:00:42"),
+        ("duration 00:00:42 bytes", "00:00:42"),
+        ("duration 37:59:42 bytes", "37:59:42"),
+    ]:
+        assert run1(rb, line)["field"] == want, line
+    out = run1(rb, "duration 37:60:42 bytes")
+    assert out["unparsed-data"] == "37:60:42 bytes"
