@@ -26,7 +26,7 @@ from __future__ import annotations
 import json as _json
 import re
 from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 from liblognorm_spark.compiler import motifs as M
 from liblognorm_spark.compiler.motifs import Reject
@@ -43,11 +43,6 @@ IPV4_FRAG = rf"{OCTET}\.{OCTET}\.{OCTET}\.{OCTET}"
 
 def _frag_literal(p):
     return re.escape(p["text"])
-
-
-def _frag_charclass(chars: str, plus: bool) -> str:
-    cls = "[" + re.escape(chars).replace("\\-", "\\-") + "]"
-    return cls + ("++" if plus else "*+")
 
 
 def _neg_class(chars: str) -> str:
@@ -134,9 +129,7 @@ def _needs_walker(ptype: str, params: dict) -> bool:
     return False
 
 
-import re as _re_mod
-
-_IPT_PAIR_RE = _re_mod.compile(r"([A-Z]+)(?:=([^ \t\n\v\f\r]*))?")
+_IPT_PAIR_RE = re.compile(r"([A-Z]+)(?:=([^ \t\n\v\f\r]*))?")
 
 
 def _fast_iptables(raw: str) -> dict:
@@ -527,7 +520,7 @@ def _token_stream(rule: Rule):
                 sort_keys=True,
             )
             out.append((item.prio, "alt:" + ident))
-        elif item.ptype == "literal":
+        elif item.ptype == "literal" and item.name is None:
             for ch in item.params["text"]:
                 out.append((item.prio, "lit:" + ch))
         else:
