@@ -204,3 +204,21 @@ def test_stateful_host_counters(spark, pages, tmp_path):
     h0 = {r["host"]: r["p"] for r in rows}["h0"]
     # hot host: all even doc_ids (250) + odd multiples of 97 (97, 291, 485)
     assert h0 == 253
+
+
+def test_salted_repartition_same_results(spark, pages):
+    """Explicit salted repartition (skew handling for the hot host) must
+    not change results — only the physical distribution."""
+    from liblognorm_spark.pipeline import pipeline as PL
+
+    plain = PL.aggregate_stage(
+        PL.route_stage(PL.enrich_stage(spark, PL.parse_stage(spark, pages)))
+    ).collect()
+    salted = PL.aggregate_stage(
+        PL.route_stage(
+            PL.enrich_stage(spark, PL.parse_stage(spark, pages, salt_parts=16))
+        )
+    ).collect()
+    assert sorted((r["sink"], r["n"]) for r in plain) == sorted(
+        (r["sink"], r["n"]) for r in salted
+    )
