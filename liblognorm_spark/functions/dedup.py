@@ -93,6 +93,9 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     exploded = sigs.select(
         id_col, "minhash", F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bk")
     ).select(id_col, "minhash", "bk.band", "bk.band_key")
+    # persist: the self-join would otherwise recompute the signature
+    # aggregation once per side (no ReusedExchange under AQE)
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -152,7 +155,7 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id", max_ha
     s = simhash(df, text_col, id_col)
     lo = (F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))).alias("h_lo")
     hi = (F.shiftright("simhash", 16)).alias("h_hi")
-    keyed = s.select(id_col, "simhash", lo, hi)
+    keyed = s.select(id_col, "simhash", lo, hi).persist()  # reused 4x below
     cands = None
     for key in ("h_lo", "h_hi"):
         a, b = keyed.alias("a"), keyed.alias("b")
@@ -210,7 +213,7 @@ def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_i
 
     keyed = emb_df.select(
         F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), nplanes=8).alias("bkt")
-    )
+    ).persist()  # self-join reuses the bucketing
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(b, "bkt")
