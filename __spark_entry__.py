@@ -522,7 +522,8 @@ def q_knn_cosine(spark, sf_dir):
     return scored.orderBy(F.col("cos_millis").desc(), F.col("vec_id")).limit(10)
 
 
-# rows-only (non-SQL-expressible) operators
+# similarity / dedup operators — md5-hashed so each has an exact DuckDB
+# twin running the SAME algorithm (same shingles, hashes, bands, planes)
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -550,7 +551,9 @@ def q_embedding_near_dups(spark, sf_dir):
     from liblognorm_spark.functions.dedup import embedding_near_dups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, min_cos_millis=950)
+    # threshold is fixture-scaled: the synthetic embeddings are near-random
+    # (max pairwise cosine ~0.51), so 0.35 is where "near" pairs live here
+    return embedding_near_dups(emb, min_cos_millis=350, dim=64)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -563,7 +566,8 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_media_decode(spark, sf_dir):
     from liblognorm_spark.functions.multimodal import decode_media
 
-    pages = _pages(spark, sf_dir).limit(200)
+    # deterministic subset (limit() without order is an arbitrary subset)
+    pages = _pages(spark, sf_dir).where(F.col("doc_id") < 200)
     pages = pages.withColumn(
         "html", F.encode(F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>")), "UTF-8")
     )
@@ -573,7 +577,7 @@ def q_media_decode(spark, sf_dir):
 def q_frame_sample(spark, sf_dir):
     from liblognorm_spark.functions.multimodal import frame_sample
 
-    pages = _pages(spark, sf_dir).limit(100)
+    pages = _pages(spark, sf_dir).where(F.col("doc_id") < 100)
     pages = pages.withColumn("html", F.encode(F.col("text"), "UTF-8"))
     return frame_sample(pages, binary_col="html", id_cols=("url",))
 
@@ -651,8 +655,198 @@ _DUR = P.DURATION
 _HOST = P.HOST_ID
 
 
+# ---- mirrored-algorithm oracles for the similarity/dedup tier ----------
+#
+# These run the SAME bucketed algorithms in DuckDB (same md5 hashes, same
+# shingles, same bands/hyperplanes, fold-left double arithmetic) so the
+# comparison is bit-exact.  Ground-truth RECALL against exact O(n^2) pairs
+# is asserted separately in tests/test_dedup_groundtruth.py.
+
+_MH_N, _MH_BANDS, _MH_ROWS, _MH_CAP = 16, 4, 4, 200
+
+
+def _minhash_ctes() -> str:
+    """CTEs: documents -> shingles -> 16 min-hashes -> banded keys ->
+    bucket-capped -> distinct candidate pairs.  Twin of
+    liblognorm_spark.functions.dedup.minhash_lsh_pairs."""
+    mins = ", ".join(
+        f"min(substr(md5('{i}|' || s), 1, 16)) AS h{i}" for i in range(_MH_N)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(_MH_N)) + "]"
+    band_keys = ", ".join(
+        "md5(" + " || ',' || ".join(f"h{b * _MH_ROWS + r}" for r in range(_MH_ROWS)) + ")"
+        for b in range(_MH_BANDS)
+    )
+    shingle_list = (
+        "CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+        "ELSE list_transform(range(0, len(ws) - 2), "
+        "i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END"
+    )
+    return f"""
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+        sh AS (SELECT doc_id, unnest({shingle_list}) AS s FROM w),
+        shl AS (SELECT doc_id, list_distinct({shingle_list}) AS shset FROM w),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        sigarr AS (SELECT doc_id, {sig_list} AS mh FROM sig),
+        banded AS (SELECT doc_id,
+                          unnest([{", ".join(str(b) for b in range(_MH_BANDS))}]) AS band,
+                          unnest([{band_keys}]) AS bk
+                   FROM sig),
+        capped AS (SELECT * FROM banded
+                   QUALIFY count(*) OVER (PARTITION BY band, bk) <= {_MH_CAP}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM capped a JOIN capped b
+                   ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_pairs_oracle() -> str:
+    eq_count = (
+        "list_sum(list_transform(range(1, 17), "
+        "i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""WITH {_minhash_ctes()}
+        SELECT id_a, id_b, est_jaccard_millis FROM (
+          SELECT c.id_a, c.id_b,
+                 CAST(trunc({eq_count} * 1000.0 / {_MH_N}) AS BIGINT) AS est_jaccard_millis
+          FROM cand c
+          JOIN sigarr sa ON sa.doc_id = c.id_a
+          JOIN sigarr sb ON sb.doc_id = c.id_b)
+        WHERE est_jaccard_millis >= 500"""
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""WITH {_minhash_ctes()}
+        SELECT id_a, id_b, jaccard_millis FROM (
+          SELECT c.id_a, c.id_b,
+                 CAST(trunc(len(list_intersect(a.shset, b.shset)) * 1000.0
+                            / len(list_distinct(a.shset || b.shset))) AS BIGINT) AS jaccard_millis
+          FROM cand c
+          JOIN shl a ON a.doc_id = c.id_a
+          JOIN shl b ON b.doc_id = c.id_b)
+        WHERE jaccard_millis >= 500"""
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (wh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""WITH wds AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5('999|' || w), 1, 15))::BIGINT AS wh FROM wds),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM v"""
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+
+
+def _dot_sql(vec: str, plane: list[float]) -> str:
+    """Fold-left dot product against literal plane coefficients — exact twin
+    of similarity.bucket_from_planes (F.aggregate folds left from 0.0;
+    list_reduce folds left from the first element; 0.0 + v == v)."""
+    dim = len(plane)
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {vec}[i] * ({_plane_literal(plane)})[i]), (x, y) -> x + y)"
+    )
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec, plane)} >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def _cos_sql(va: str, vb: str, dim: int) -> str:
+    rng = f"range(1, {dim + 1})"
+    dot = f"list_reduce(list_transform({rng}, i -> {va}[i] * {vb}[i]), (x, y) -> x + y)"
+    na = f"sqrt(list_reduce(list_transform({rng}, i -> {va}[i] * {va}[i]), (x, y) -> x + y))"
+    nb = f"sqrt(list_reduce(list_transform({rng}, i -> {vb}[i] * {vb}[i]), (x, y) -> x + y))"
+    return f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END)"
+
+
+def _embedding_near_dups_oracle(dim: int = 64, ntables: int = 4, nplanes: int = 4,
+                                min_cos_millis: int = 350) -> str:
+    from liblognorm_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, ntables * nplanes)
+    buckets = ", ".join(
+        _bucket_sql("v", planes[t * nplanes:(t + 1) * nplanes]) for t in range(ntables)
+    )
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, unnest([{", ".join(str(t) for t in range(ntables))}]) AS tbl,
+                     unnest([{buckets}]) AS bkt FROM e),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+                 FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bkt = b2.bkt
+                                   AND a.vec_id < b2.vec_id)
+        SELECT id_a, id_b, cos_millis FROM (
+          SELECT c.id_a, c.id_b,
+                 CAST(trunc({_cos_sql("ea.v", "eb.v", dim)} * 1000) AS BIGINT) AS cos_millis
+          FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+        WHERE cos_millis >= {min_cos_millis}"""
+
+
+def _ann_lsh_topk_oracle(dim: int = 64, nplanes: int = 6, k: int = 10) -> str:
+    from liblognorm_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nplanes)
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        kd AS (SELECT vec_id, v, qv,
+                      {_bucket_sql("v", planes)} AS bkt,
+                      {_bucket_sql("qv", planes)} AS qbkt
+               FROM e, q),
+        s AS (SELECT vec_id,
+                     CAST(trunc({_cos_sql("v", "qv", dim)} * 1000000) AS BIGINT) AS cos_micros
+              FROM kd WHERE bit_count(xor(bkt, qbkt)) <= 2)
+        SELECT vec_id, cos_micros FROM s ORDER BY cos_micros DESC, vec_id LIMIT {k}"""
+
+
+def _media_ctes(doc_limit: int, wrap: bool) -> str:
+    s = "'<html>' || text || '</html>'" if wrap else "text"
+    return f"""
+        m AS (SELECT url, {s} AS s FROM pages WHERE doc_id < {doc_limit}),
+        d AS (SELECT url, md5(s) AS media_md5,
+                     octet_length(encode(s)) AS media_bytes,
+                     ('0x' || substr(md5(s), 1, 8))::BIGINT AS v
+              FROM m)"""
+
+
+def _media_decode_oracle() -> str:
+    return f"""{PAGES_CTE},{_media_ctes(200, wrap=True)}
+        SELECT url, media_md5, CAST(media_bytes AS BIGINT) AS media_bytes,
+               (CASE v % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'webp' ELSE 'gif' END) AS format,
+               CAST(64 + v % 1920 AS INTEGER) AS width,
+               CAST(64 + (v >> 8) % 1080 AS INTEGER) AS height,
+               CAST(1 + (v >> 16) % 32 AS INTEGER) AS n_frames,
+               CAST(8000 + (v >> 4) % 40000 AS INTEGER) AS sample_rate
+        FROM d"""
+
+
+def _frame_sample_oracle(every_n: int = 8) -> str:
+    return f"""{PAGES_CTE},{_media_ctes(100, wrap=False)},
+        f AS (SELECT url, 1 + (v >> 16) % 32 AS n_frames FROM d)
+        SELECT url, CAST(unnest(generate_series(0, n_frames - 1, {every_n})) AS INTEGER) AS frame_idx
+        FROM f"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_pairs": _minhash_pairs_oracle(),
+        "ngram_jaccard": _ngram_jaccard_oracle(),
+        "simhash": _simhash_oracle(),
+        "embedding_near_dups": _embedding_near_dups_oracle(),
+        "ann_lsh_topk": _ann_lsh_topk_oracle(),
+        "media_decode": _media_decode_oracle(),
+        "frame_sample": _frame_sample_oracle(),
         "pipeline_sink_counts": f"""{PAGES_CTE}
             SELECT {P.SINK_BY_KIND} AS sink, count(*) AS n FROM pages GROUP BY 1""",
         "pipeline_sink_counts_strict": f"""{PAGES_CTE}

@@ -222,6 +222,29 @@ class _Ctx:
         return f"g{self.counter}"
 
 
+def _flat_literal(seq):
+    """Full literal text if the seq is only unnamed literals, else None."""
+    if seq and all(
+        isinstance(it, PNode) and it.ptype == "literal" and it.name is None for it in seq
+    ):
+        return "".join(it.params.get("text", "") for it in seq)
+    return None
+
+
+def _head_merge_key(seq):
+    """PDAG merge identity of a seq's first item (walker._merge_key twin) —
+    used to detect shared-prefix type alternatives the regex path cannot
+    emulate."""
+    if not seq:
+        return ("empty",)
+    it = seq[0]
+    if isinstance(it, Alt):
+        return ("alt", id(it))
+    if it.ptype == "literal" and it.name is None:
+        return ("lit", it.params.get("text", "")[:1], None)
+    return (it.ptype, it.name, repr(sorted(it.params.items(), key=lambda kv: kv[0])))
+
+
 def _item_fragment(item, ctx: _Ctx, specs: list, capture: bool) -> str:
     """Build the regex fragment for one Seq item; append FieldSpecs."""
     if isinstance(item, Alt):
@@ -236,12 +259,34 @@ def _item_fragment(item, ctx: _Ctx, specs: list, capture: bool) -> str:
         if not type_alts:
             ctx.regexable = False
             return ""
+        # Reference semantics (pdag.c:1435-1442): a type walk is ATOMIC — it
+        # commits to its first terminal success and outer failure never
+        # re-enters it — and at shared-prefix nodes the deeper continuation
+        # is preferred over the terminal.  Regex twin: an atomic group with
+        # pure-literal alternatives ordered longest-first.  Two corners are
+        # not regex-expressible and fall back to the exact walker:
+        #  * a strict-prefix literal pair with >1 extra char (a failed
+        #    deeper branch still extends consumed via npb->parsedTo);
+        #  * non-literal alternatives sharing a mergeable head parser
+        #    (deep-first walking inside a shared prefix).
+        alts_sorted = sorted(type_alts, key=lambda s: s[0].prio if s else 1 << 30)
+        lits = [_flat_literal(s) for s in alts_sorted]
+        if all(l is not None for l in lits):
+            for a in lits:
+                for b in lits:
+                    if a != b and b.startswith(a) and len(b) - len(a) > 1:
+                        ctx.regexable = False
+                        return ""
+            alts_sorted = [s for _, s in sorted(zip(lits, alts_sorted),
+                                                key=lambda p: -len(p[0]))]
+        else:
+            heads = [_head_merge_key(s) for s in alts_sorted]
+            if len(set(heads)) < len(heads):
+                ctx.regexable = False
+                return ""
         sub_specs: list = []
-        alt_frags = [
-            _seq_fragment(s, ctx, sub_specs, capture)
-            for s in sorted(type_alts, key=lambda s: s[0].prio if s else 1 << 30)
-        ]
-        inner = "(?:" + "|".join(alt_frags) + ")"
+        alt_frags = [_seq_fragment(s, ctx, sub_specs, capture) for s in alts_sorted]
+        inner = "(?>" + "|".join(alt_frags) + ")"
         if not ctx.regexable:
             return ""
         if capture and node.name is not None:

@@ -77,8 +77,9 @@ def civil_to_epoch(y, mo, d, h, mi, s, off_h=0, off_m=0, off_mode="+") -> int:
 
 
 def parse_literal(text, offs, params):
-    """src/parser.c:1430-1450; returns partial progress on mismatch via
-    LiteralPartial so the walker can mirror per-char parsedTo credit."""
+    """src/parser.c:1430-1450.  All-or-nothing here; per-char parsedTo
+    credit on mismatch (the reference's per-char literal PDAG nodes) is
+    applied by the walker via runtime.walker._literal_partial_credit."""
     lit = params["text"]
     n = len(text)
     j = 0

@@ -4,13 +4,45 @@ embedding-cosine near-dup.
 Design for 100 TB: every variant is bucket-first — candidates are generated
 by an equi-join/groupBy on a bucket key (hash-partitionable, map-side
 combinable) and only verified pairwise INSIDE buckets, never via a global
-cross join.  Hash functions are md5-derived so results are deterministic
-and engine-independent.
+cross join.  Hot buckets (boilerplate-heavy web text collapses many docs
+into one band) are capped by an explicit ``max_bucket_size`` so one bad key
+cannot produce a quadratic pair blowup.
+
+All hash functions are md5-derived so every operator here has an exact
+DuckDB-SQL twin (see ``__spark_entry__.oracle_sql``): the oracle runs the
+same algorithm — same shingles, same hashes, same bands — and must produce
+bit-identical output.  A 16-hex-char md5 prefix compared as a string is
+equivalent to comparing the underlying 64-bit value, and md5 is available
+and identical in both engines (xxhash64 is not).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+# persisted intermediates registered here so long-running jobs can release
+# executor memory; see unpersist_dedup_caches()
+_CACHES: list = []
+
+
+def _persist(df):
+    df = df.persist()
+    _CACHES.append(df)
+    return df
+
+
+def unpersist_dedup_caches() -> int:
+    """Release every intermediate persisted by the dedup builders (the
+    builders return lazy DataFrames, so they cannot unpersist themselves
+    before the caller's action runs).  Call after the output is consumed.
+    Returns the number of DataFrames released."""
+    n = 0
+    while _CACHES:
+        _CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 # ------------------------------------------------------------ exact
 
@@ -37,6 +69,7 @@ def exact_dup_groups(df, text_col: str = "text", id_col: str = "doc_id"):
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3  # word shingles
+DEFAULT_MAX_BUCKET = 200  # LSH band-bucket cap (k docs in a band -> k^2 pairs)
 
 
 def _word_shingles(col, k: int = SHINGLE_K):
@@ -50,15 +83,24 @@ def _word_shingles(col, k: int = SHINGLE_K):
     )
 
 
-def _h64(col, seed: int):
-    """Deterministic seeded 64-bit hash (xxhash64 is JVM-native and far
-    cheaper than md5+conv; minhash needs determinism, not cross-engine
-    portability)."""
-    return F.xxhash64(F.lit(seed), col)
+def _hmd5(col, seed: int):
+    """Portable seeded 64-bit hash as a 16-hex-char md5 prefix.  Compared
+    lexicographically this orders exactly like the 64-bit value, and the
+    same expression exists verbatim in DuckDB — which is what lets every
+    minhash-derived operator carry a true side-by-side oracle."""
+    return F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 16)
+
+
+def _hmd5_long(col, seed: int):
+    """Portable seeded 60-bit integer hash (15 md5 hex chars -> long);
+    DuckDB twin: ('0x' || substr(md5(seed || '|' || x), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 15), 16, 10
+    ).cast("long")
 
 
 def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: int = N_MINHASH):
-    """doc -> array<long> of n minhashes over word shingles.
+    """doc -> array<string> of n minhashes (16-hex-char) over word shingles.
 
     Shape matters at scale: explode shingles once, compute the n seeded
     hashes per shingle row, then groupBy(doc).min per hash — partial
@@ -69,7 +111,7 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: in
         F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle")
     )
     hashed = sh.select(
-        id_col, *[_h64(F.col("shingle"), i).alias(f"h{i}") for i in range(n)]
+        id_col, *[_hmd5(F.col("shingle"), i).alias(f"h{i}") for i in range(n)]
     )
     agg = hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n)])
     return agg.select(
@@ -78,10 +120,19 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: in
 
 
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
-                      n: int = N_MINHASH, bands: int = N_BANDS):
+                      n: int = N_MINHASH, bands: int = N_BANDS,
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
     """Candidate near-dup pairs via banded LSH: same band signature in any
     band -> candidate.  Returns distinct (id_a < id_b) pairs with their
-    estimated jaccard (= matching minhash fraction)."""
+    estimated jaccard (= matching minhash fraction, in millis).
+
+    ``max_bucket_size`` drops band-buckets holding more than that many docs
+    BEFORE the self-join: a band shared by k near-identical docs otherwise
+    yields k^2 join rows (the skew bomb at web scale).  Dropping a hot
+    bucket is safe for recall because near-identical docs collide in ALL
+    bands, and it is the standard boilerplate-band defense.  Use
+    lsh_bucket_stats() to see what a given corpus would drop — no silent
+    caps.  Pass None to disable."""
     rows = n // bands
     sigs = minhash_signatures(df, text_col, id_col, n)
     band_cols = [
@@ -93,9 +144,15 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     exploded = sigs.select(
         id_col, "minhash", F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bk")
     ).select(id_col, "minhash", "bk.band", "bk.band_key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key")
+        exploded = exploded.withColumn("_bn", F.count("*").over(w)).where(
+            F.col("_bn") <= max_bucket_size
+        ).drop("_bn")
     # persist: the self-join would otherwise recompute the signature
-    # aggregation once per side (no ReusedExchange under AQE)
-    exploded = exploded.persist()
+    # aggregation once per side (no ReusedExchange is planned for the two
+    # sides); released via unpersist_dedup_caches()
+    exploded = _persist(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -116,24 +173,51 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             lambda acc, v: acc + v,
         )
         * 1000
-        / F.lit(N_MINHASH)
+        / F.lit(n)
     ).cast("long")
     return pairs.select("id_a", "id_b", match_frac.alias("est_jaccard_millis"))
+
+
+def lsh_bucket_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = N_MINHASH, bands: int = N_BANDS):
+    """Diagnostic: per-band-bucket doc counts, largest first.  Run this to
+    pick / audit ``max_bucket_size`` for a corpus (the anti-silent-cap
+    companion of minhash_lsh_pairs)."""
+    rows = n // bands
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
+            "band_key"
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        id_col,
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+    return (
+        exploded.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "band", "band_key")
+    )
 
 
 # ------------------------------------------------------------ simhash
 
 SIMHASH_BITS = 32
+SIMHASH_SEED = 999
 
 
 def simhash(df, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS):
     """Per-doc SimHash: majority vote per bit over word hashes.
 
     Implemented JVM-side: explode words -> per-bit +-1 contributions via
-    shiftright/bitwise-and -> groupBy doc -> sign aggregation."""
+    shiftright/bitwise-and -> groupBy doc -> sign aggregation.  The word
+    hash is md5-derived (see _hmd5_long) so the whole operator has an exact
+    DuckDB oracle."""
     words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
     base = df.select(F.col(id_col), words)
-    wh = base.withColumn("wh", _h64(F.col("w"), 999))
+    wh = base.withColumn("wh", _hmd5_long(F.col("w"), SIMHASH_SEED))
     agg_exprs = [
         F.sum(
             F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -148,31 +232,52 @@ def simhash(df, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMH
     return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
-    """Near-dup pairs by simhash hamming distance, candidate-bucketed on
-    16-bit halves (any pair within distance<=3 shares a half exactly when
-    differences concentrate; standard 2-block pigeonhole for 32 bits)."""
-    s = simhash(df, text_col, id_col)
-    lo = (F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))).alias("h_lo")
-    hi = (F.shiftright("simhash", 16)).alias("h_hi")
-    keyed = s.select(id_col, "simhash", lo, hi).persist()  # reused 4x below
-    cands = None
-    for key in ("h_lo", "h_hi"):
-        a, b = keyed.alias("a"), keyed.alias("b")
-        p = (
-            a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"))
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sa"),
-                F.col("b.simhash").alias("sb"),
-            )
+def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, bits: int = SIMHASH_BITS,
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Candidate generation uses the pigeonhole principle correctly: split the
+    ``bits``-bit hash into ``max_hamming + 1`` equal blocks — any pair
+    within distance d differs in at most d blocks, so at least one block is
+    IDENTICAL; bucket on (block_idx, block_value) and verify inside buckets.
+    (The round-1 2-block scheme only guaranteed capture for d <= 1; the
+    default contract here is d=3 -> 4 blocks of 8 bits.)"""
+    n_blocks = max_hamming + 1
+    if bits % n_blocks != 0:
+        raise ValueError(f"bits={bits} not divisible by max_hamming+1={n_blocks}")
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    s = simhash(df, text_col, id_col, bits)
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright("simhash", i * block_bits).bitwiseAND(F.lit(mask)).alias("blk_val"),
         )
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
-    xor = F.col("sa").bitwiseXOR(F.col("sb"))
-    hamming = F.bit_count(xor)
+        for i in range(n_blocks)
+    ]
+    keyed = s.select(
+        id_col, "simhash", F.explode(F.array(*block_structs)).alias("b")
+    ).select(id_col, "simhash", "b.blk", "b.blk_val")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("blk", "blk_val")
+        keyed = keyed.withColumn("_bn", F.count("*").over(w)).where(
+            F.col("_bn") <= max_bucket_size
+        ).drop("_bn")
+    keyed = _persist(keyed)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(b, ["blk", "blk_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
@@ -182,13 +287,16 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id", max_ha
 
 
 def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
-                        threshold_millis: int = 500):
+                        threshold_millis: int = 500,
+                        max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
     """Exact word-shingle Jaccard over LSH candidates (verify stage for
     minhash_lsh_pairs): jaccard = |A∩B| / |A∪B| in millis."""
     sh = df.select(
         F.col(id_col), F.array_distinct(_word_shingles(F.col(text_col))).alias("sh")
     )
-    cand = minhash_lsh_pairs(df, text_col, id_col).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(df, text_col, id_col, max_bucket_size=max_bucket_size).select(
+        "id_a", "id_b"
+    )
     j = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -203,27 +311,63 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------------------ embedding near-dup
 
+EMB_NEAR_DUP_TABLES = 4
+EMB_NEAR_DUP_PLANES = 4
+
 
 def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_id",
-                        min_cos_millis: int = 990):
-    """Embedding-cosine near-dup: bucket by the sign pattern of 8
-    deterministic pseudo-random hyperplanes (md5-seeded), verify cosine
-    inside buckets only."""
-    from liblognorm_spark.functions.similarity import cosine_expr, hyperplane_bucket
+                        min_cos_millis: int = 350, dim: int = 64,
+                        ntables: int = EMB_NEAR_DUP_TABLES,
+                        nplanes: int = EMB_NEAR_DUP_PLANES,
+                        max_bucket_size: int | None = None):
+    """Embedding-cosine near-dup with LSH amplification: ``ntables``
+    independent sign-LSH tables of ``nplanes`` hyperplanes each (OR across
+    tables); candidates are pairs sharing a bucket in ANY table, verified by
+    exact cosine inside buckets only.
 
+    With one table of t planes the capture probability for a pair at angle
+    θ is (1-θ/π)^t — hopeless for moderate similarity; L tables raise it to
+    1-(1-p^t)^L, which is the same banding trick MinHash-LSH uses.  ``dim``
+    must equal the embedding length: hyperplanes are literal arrays, and a
+    length mismatch would null the dot products (zip_with null-pads)."""
+    from liblognorm_spark.functions.similarity import (
+        _hyperplanes,
+        bucket_from_planes,
+        cosine_expr,
+    )
+
+    planes = _hyperplanes(dim, ntables * nplanes)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    table_buckets = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            bucket_from_planes(vec_d, planes[t * nplanes:(t + 1) * nplanes]).alias("bkt"),
+        )
+        for t in range(ntables)
+    ]
     keyed = emb_df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), nplanes=8).alias("bkt")
-    ).persist()  # self-join reuses the bucketing
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*table_buckets)).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("tbl", "bkt")
+        keyed = keyed.withColumn("_bn", F.count("*").over(w)).where(
+            F.col("_bn") <= max_bucket_size
+        ).drop("_bn")
+    keyed = _persist(keyed)  # self-join reuses the bucketing
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
-        a.join(b, "bkt")
+        a.join(b, ["tbl", "bkt"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])  # dedup across tables BEFORE the cosine
     )
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
     return pairs.select(
-        "id_a", "id_b", (F.col("cos") * 1000).cast("long").alias("cos_millis")
+        "id_a", "id_b", (cos * 1000).cast("long").alias("cos_millis")
     ).where(F.col("cos_millis") >= min_cos_millis)

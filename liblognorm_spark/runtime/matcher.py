@@ -101,18 +101,25 @@ def _fallback_index(crb: CompiledRulebase):
         node.setdefault("\0rules", []).append(rule)
 
     def candidates(text: str):
+        """Returns (rules, lit_credit): candidate rules in priority order
+        plus the trie descent depth — the max common prefix between the
+        text and ANY leading literal, i.e. the parsedTo credit the pruned
+        rules' per-char literal nodes would have produced (the reference
+        credits partial literal progress; see walker._literal_partial_credit)."""
         found = list(always)
         node = root
+        depth = 0
         for ch in text:
             node = node.get(ch)
             if node is None:
                 break
+            depth += 1
             rs = node.get("\0rules")
             if rs:
                 found.extend(rs)
         if len(found) > 1:
             found.sort(key=lambda r: order_of[id(r)])
-        return found
+        return found, depth
 
     crb._fb_index = candidates
     return candidates
@@ -222,12 +229,15 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
 
     # slow path: unmatched rows + validation rejects -> exact walker over
     # the prefix-index candidate set (rules whose leading literal can
-    # possibly match; an all-or-nothing literal failure contributes
-    # neither a match nor parsedTo progress)
+    # possibly match); the pruned rules' partial-literal parsedTo credit is
+    # carried over from the trie descent depth
     index = _fallback_index(crb)
     for pos in np.flatnonzero(remaining | need_walker):
         t = tvals[pos]
-        rule, ev, pto = normalize_message(index(t), t, crb.types, crb.annotations)
+        cand_rules, lit_credit = index(t)
+        rule, ev, pto = normalize_message(
+            cand_rules, t, crb.types, crb.annotations, initial_parsed_to=lit_credit
+        )
         parsed_to[pos] = pto
         if rule is None:
             unparsed[pos] = ev["unparsed-data"]

@@ -61,14 +61,27 @@ def try_parser(state: WalkState, node: PNode, offs: int):
             alts = state.types.get(tname)
             if not alts:
                 return (False, 0, None)
+            # Reference semantics (pdag.c:1435-1442): the type's alternatives
+            # form ONE merged prefix-shared PDAG walked with bPartialMatch=1.
+            # Consequences mirrored by _walk_merged:
+            #  * at a node that is both terminal and has continuations, the
+            #    continuations are tried FIRST (normalizeRec checks
+            #    isTerminal only after the parser loop) -> deepest-first;
+            #  * the walk commits to its first terminal success — the outer
+            #    rule failing later never re-enters the type;
+            #  * consumed = npb->parsedTo - *offs, i.e. the deepest reach
+            #    over every branch tried, successful or NOT (and parsedTo is
+            #    global: prior progress past offs also counts).
             child: dict = {}
-            ok = False
-            for alt_seq in sorted(alts, key=_seq_prio_key):
-                if walk_seq(state, alt_seq, 0, offs, True, child, None):
-                    ok = True
-                    break
-            consumed = state.parsed_to - offs
-            return (ok, consumed if ok else 0, child if ok else None)
+            branches = [(s, 0, None) for s in sorted(alts, key=_seq_prio_key)]
+            ok = _walk_merged(state, branches, offs, child)
+            if not ok:
+                return (False, 0, None)
+            # clamp: the C computes size_t parsedTo-offs, which can only be
+            # < 0 here for an empty-matching type before any progress (a
+            # size_t underflow — unusable behavior we do not reproduce)
+            consumed = max(state.parsed_to - offs, 0)
+            return (True, consumed, child)
         if node.ptype == "repeat":
             return _parse_repeat(state, node, offs)
         fn = PARSERS.get(node.ptype)
@@ -85,6 +98,103 @@ def try_parser(state: WalkState, node: PNode, offs: int):
 
 def _seq_prio_key(seq):
     return seq[0].prio if seq else (30000 << 8) | 16
+
+
+def _merge_key(item: PNode):
+    """Parsers merge in the PDAG when fully identical (parser, data, name);
+    literals merge PER CHARACTER (ln_pdagAddParser splits literal chains),
+    so two literals share a node iff their first chars agree."""
+    if item.ptype == "literal" and item.name is None:
+        text = item.params.get("text", "")
+        return ("lit", text[:1], None)
+    return (item.ptype, item.name, repr(sorted(item.params.items(), key=lambda kv: kv[0])))
+
+
+def _walk_merged(state: WalkState, branches, offs: int, json_out: dict) -> bool:
+    """Walk a set of alternative branches as the merged prefix-shared PDAG
+    the reference builds for a user type (pdag.c ln_normalizeRec over the
+    type pdag, bPartialMatch=1).
+
+    branches: list of (seq, idx, cont) continuation chains.  Parsers with
+    identical merge keys are tried ONCE (shared node); exhausted branches
+    mark the node terminal, accepted only after every parser group fails.
+    state.parsed_to is updated after each head-success recursion whether or
+    not the subtree matched (pdag.c:1602-1603)."""
+    groups: dict = {}
+    order: list = []
+    has_terminal = False
+    for seq, idx, cont in branches:
+        while idx == len(seq) and cont is not None:
+            seq, idx, cont = cont
+        if idx == len(seq):
+            has_terminal = True
+            continue
+        item = seq[idx]
+        if isinstance(item, Alt):
+            for alt_seq in sorted(item.alts, key=_seq_prio_key):
+                _merged_add(groups, order, (alt_seq, 0, (seq, idx + 1, cont)))
+            continue
+        _merged_add(groups, order, (seq, idx, cont))
+    for pos, key in sorted(enumerate(order), key=lambda pk: (groups[pk[1]][0][0][groups[pk[1]][0][1]].prio, pk[0])):
+        grp = groups[key]
+        seq0, idx0, _c0 = grp[0]
+        head: PNode = seq0[idx0]
+        char_merged = key[0] == "lit"  # unnamed literals merge per character
+        if char_merged:
+            head = PNode(ptype="literal", name=None,
+                         params={"text": key[1]}, user_prio=head.user_prio)
+        ok, consumed, value = try_parser(state, head, offs)
+        if not ok:
+            continue
+        new_offs = offs + consumed
+        sub_branches = []
+        for seq_b, idx_b, cont_b in grp:
+            it = seq_b[idx_b]
+            rest_text = it.params.get("text", "")[1:] if char_merged else ""
+            if rest_text:
+                tail = PNode(ptype="literal", name=it.name,
+                             params={"text": rest_text}, user_prio=it.user_prio)
+                sub_branches.append(([tail], 0, (seq_b, idx_b + 1, cont_b)))
+            else:
+                sub_branches.append((seq_b, idx_b + 1, cont_b))
+        sub_ok = _walk_merged(state, sub_branches, new_offs, json_out)
+        if new_offs > state.parsed_to:
+            state.parsed_to = new_offs
+        if sub_ok:
+            attach(json_out, head.name, value)
+            return True
+    return has_terminal
+
+
+def _literal_partial_credit(state: WalkState, item, offs: int) -> None:
+    """Per-char parsedTo credit for a failed literal.
+
+    The reference PDAG splits multi-char literals into per-char parser
+    nodes; each matching char is a parser SUCCESS whose recursion later
+    fails, and the post-recursion update (pdag.c:1602-1603) credits
+    parsedTo up to the divergence point.  Our walker keeps literals whole
+    for speed, so on mismatch we credit the common prefix explicitly —
+    this is what makes unparsed-data diagnostics match the reference for
+    messages that die inside a literal."""
+    if not isinstance(item, PNode) or item.ptype != "literal":
+        return
+    lit = item.params.get("text", "")
+    text = state.text
+    q = 0
+    maxq = min(len(lit), state.strlen - offs)
+    while q < maxq and text[offs + q] == lit[q]:
+        q += 1
+    if q and offs + q > state.parsed_to:
+        state.parsed_to = offs + q
+
+
+def _merged_add(groups: dict, order: list, branch) -> None:
+    seq, idx, _ = branch
+    key = _merge_key(seq[idx])
+    if key not in groups:
+        groups[key] = []
+        order.append(key)
+    groups[key].append(branch)
 
 
 def _parse_repeat(state: WalkState, node: PNode, offs: int):
@@ -148,6 +258,7 @@ def walk_seq(state: WalkState, seq, idx, offs, partial, json, cont) -> bool:
         return False
     ok, consumed, value = try_parser(state, item, offs)
     if not ok:
+        _literal_partial_credit(state, item, offs)
         return False
     new_offs = offs + consumed
     sub = walk_seq(state, seq, idx + 1, new_offs, partial, json, cont)
@@ -184,18 +295,26 @@ def _lit_prefix(rule) -> str:
     return pref
 
 
-def normalize_message(rules, text: str, types: dict, annotations=None):
+def normalize_message(rules, text: str, types: dict, annotations=None,
+                      initial_parsed_to: int = 0):
     """Full reference semantics for one message: first matching rule wins
     (rules must already be in priority order); on failure emit
     originalmsg/unparsed-data (src/pdag.c:1653-1683, 1299-1316).
 
-    Rules whose leading literal cannot prefix the text are skipped — an
-    all-or-nothing leading-literal failure contributes neither a match nor
-    parsedTo progress, so the skip is observationally identical."""
-    state = WalkState(text=text, strlen=len(text), types=types)
+    Rules whose leading literal cannot prefix the text are skipped, but the
+    skip credits parsedTo for the common prefix first (the reference's
+    per-char literal nodes would) so diagnostics stay identical."""
+    state = WalkState(text=text, strlen=len(text), types=types,
+                      parsed_to=initial_parsed_to)
     for rule in rules:
         pref = _lit_prefix(rule)
         if pref and not text.startswith(pref):
+            q = 0
+            maxq = min(len(pref), state.strlen)
+            while q < maxq and text[q] == pref[q]:
+                q += 1
+            if q > state.parsed_to:
+                state.parsed_to = q
             continue
         fields: dict = {}
         if walk_seq(state, rule.seq, 0, 0, False, fields, None):

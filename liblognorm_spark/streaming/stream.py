@@ -97,9 +97,15 @@ def stateful_host_counters(parsed_stream):
 
 
 def start_fanout_query(parsed_stream, out_dir: str, checkpoint_dir: str):
-    """Streaming fan-out with exactly-once resume: foreachBatch writes each
-    micro-batch partitioned by sink; checkpointLocation makes restart skip
-    completed batches."""
+    """Streaming fan-out with effectively-exactly-once resume.
+
+    foreachBatch alone is only at-least-once: a crash after the write but
+    before the checkpoint commit re-executes the micro-batch.  The write is
+    therefore made IDEMPOTENT per epoch: output is partitioned by
+    (epoch, sink) and written with dynamic partition overwrite, so a
+    replayed epoch overwrites exactly its own partition directories instead
+    of appending duplicates.  checkpointLocation makes restart skip
+    committed batches entirely."""
     from pyspark.sql import functions as F
 
     def write_batch(df, epoch_id: int):
@@ -108,8 +114,13 @@ def start_fanout_query(parsed_stream, out_dir: str, checkpoint_dir: str):
             F.when(F.col("unparsed_data").isNotNull(), F.lit("unparsed")).otherwise(
                 F.coalesce(F.element_at(F.col("tags"), 1), F.lit("untagged"))
             ),
+        ).withColumn("epoch", F.lit(epoch_id))
+        (
+            routed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "sink")
+            .parquet(out_dir)
         )
-        routed.write.mode("append").partitionBy("sink").parquet(out_dir)
 
     return (
         parsed_stream.writeStream.foreachBatch(write_batch)

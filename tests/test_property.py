@@ -31,6 +31,27 @@ RULEBASES = [
         "rule=g:%x:string-to:END%END\n"
         "rule=h:%kv:name-value-list%\n"
     ),
+    # prefix-nested user-type alternatives: the reference walks the type as
+    # a merged PDAG that prefers the deeper continuation and COMMITS (no
+    # re-entry after the type's first terminal success) — 'ab' on input
+    # 'ab' therefore consumes 2 and the trailing literal b FAILS the rule,
+    # while 'abb' matches (pdag.c:1435-1442; ADVICE round 1)
+    (
+        "version=2\n"
+        "type=@t:a\n"
+        "type=@t:ab\n"
+        "rule=i:%f:@t%b\n"
+        "rule=j:x %g:@t% y\n"
+    ),
+    # strict-prefix pair with >1 extra char: not regex-expressible (failed
+    # deeper branch still extends consumption via npb->parsedTo), so the
+    # compiler must route these rules to the exact walker
+    (
+        "version=2\n"
+        "type=@u:a\n"
+        "type=@u:abc\n"
+        "rule=k:%f:@u%z\n"
+    ),
 ]
 COMPILED = [(rb_text, compile_rulebase(Rulebase.from_string(rb_text))) for rb_text in RULEBASES]
 
@@ -63,6 +84,18 @@ log_text = st.one_of(
             "n=042 f=1.2.3",
             "2024-01-02T03:04:05Z w",
             "2024-1-2T3:4:5+01:00 w",
+            # custom-type greedy-commit corners
+            "ab",
+            "abb",
+            "abbb",
+            "a",
+            "ax",
+            "az",
+            "abz",
+            "abcz",
+            "x a y",
+            "x ab y",
+            "x ab yb",
         ]
     ),
 )

@@ -107,6 +107,18 @@ def test_streaming_fanout_resume(spark, pages, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out).count() == 500
+    # lost checkpoint = worst-case replay: the same input re-executes as
+    # epoch 0 again; the per-epoch dynamic-overwrite write must replace its
+    # own partitions, not append duplicates (exactly-once effect)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q3 = start_fanout_query(normalize_stream(stream_pages(spark, src)), out, ckpt)
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    assert spark.read.parquet(out).count() == 500
 
 
 def test_encoders():
