@@ -1,16 +1,26 @@
 """Manifest-based checkpoint/resume for the batch pipeline.
 
-The input is processed in chunks (hash of url modulo n_chunks — stable
-under re-runs and independent of physical file layout).  After a chunk's
-sinks are durably written, the chunk id is appended to a JSON manifest;
-a restarted job skips completed chunks.  This is the batch analogue of
-Structured Streaming's checkpointLocation (which streaming/stream.py uses
-directly) and satisfies the north rule's "resumable from checkpoint with
-per-partition lineage".
+The input is split into chunks (hash of url modulo n_chunks — stable under
+re-runs and independent of physical file layout).  Chunks are processed in
+WAVES: one wave = ONE Spark job that scans the input once, computes every
+chunk in the wave, and writes them all with a single
+``partitionBy(chunk, sink)`` dynamic-overwrite write.  After the wave's
+files are durably committed, each chunk id is appended to a JSON manifest;
+a restarted job skips completed chunks, and a crash mid-wave is safe
+because the retry overwrites exactly the wave's partition directories.
 
-At 100 TB the chunk key doubles as the partition key: each chunk is an
-independent unit of work (failure domain), and lineage rows per chunk
-record exactly what was processed.
+Scan amplification vs re-work is an explicit knob: ``wave_size=None``
+(default) processes all remaining chunks in ONE scan — total reads are
+O(input), not O(n_chunks * input) like a per-chunk filter loop would be.
+Smaller waves bound the work lost to a crash at the cost of
+ceil(remaining/wave_size) scans.  At 100 TB, prefer aligning chunks to
+input file groups (each wave then reads only its own files and even
+wave_size=1 has zero amplification); the url-hash chunking here is the
+layout-independent fallback.
+
+This is the batch analogue of Structured Streaming's checkpointLocation
+(which streaming/stream.py uses directly) and satisfies the north rule's
+"resumable from checkpoint with per-partition lineage".
 """
 
 from __future__ import annotations
@@ -42,36 +52,65 @@ class Manifest:
 
 
 def run_resumable(spark, pages, out_dir: str, n_chunks: int = 8,
-                  rulebase_text: str | None = None, fail_after: int | None = None):
-    """Run the pipeline in `n_chunks` url-hash chunks with manifest resume.
+                  rulebase_text: str | None = None, fail_after: int | None = None,
+                  wave_size: int | None = None):
+    """Run the pipeline chunked with manifest resume (see module docstring).
 
-    `fail_after` (testing): raise after N chunks to simulate a crash.
-    Returns the manifest.  Each chunk writes sinks under
-    out_dir/chunk=<id>/sink=<sink>/ and records per-partition lineage."""
+    `fail_after` (testing): raise after N chunks have committed, simulating
+    a crash; waves are sized to that boundary so the manifest state is
+    deterministic.  Returns the manifest.  Sinks land under
+    out_dir/chunk=<id>/sink=<sink>/ with per-chunk partition lineage."""
     from pyspark.sql import functions as F
 
     from liblognorm_spark.pipeline import pipeline as PL
-    from liblognorm_spark.pipeline.metrics import partition_lineage
 
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest(os.path.join(out_dir, "_manifest.json"))
     if man.state["started_at"] is None:
         man.state["started_at"] = time.time()
 
-    keyed = pages.withColumn("_chunk", F.pmod(F.xxhash64("url"), F.lit(n_chunks)).cast("int"))
+    remaining = [c for c in range(n_chunks) if c not in man.completed]
+    if wave_size is None:
+        wave_size = fail_after if fail_after is not None else max(len(remaining), 1)
+    keyed = pages.withColumn("chunk", F.pmod(F.xxhash64("url"), F.lit(n_chunks)).cast("int"))
+
     done = 0
-    for chunk in range(n_chunks):
-        if chunk in man.completed:
-            continue
+    for start in range(0, len(remaining), wave_size):
         if fail_after is not None and done >= fail_after:
             raise RuntimeError(f"simulated failure after {done} chunks")
-        part = keyed.filter(F.col("_chunk") == chunk).drop("_chunk")
+        wave = remaining[start:start + wave_size]
+        part = keyed.filter(F.col("chunk").isin(wave))
         parsed = PL.parse_stage(spark, part, rulebase_text)
-        routed = PL.route_stage(PL.enrich_stage(spark, parsed))
-        routed.write.mode("overwrite").partitionBy("sink").parquet(
-            os.path.join(out_dir, f"chunk={chunk}")
-        )
-        lineage = [r.asDict() for r in partition_lineage(parsed).collect()]
-        man.mark(chunk, lineage)
-        done += 1
+        # one scan per wave: cache the parsed wave so the sink write and the
+        # lineage aggregation share it instead of re-parsing
+        parsed = parsed.persist()
+        try:
+            routed = PL.route_stage(PL.enrich_stage(spark, parsed))
+            (
+                routed.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk", "sink")
+                .parquet(out_dir)
+            )
+            lineage_rows = (
+                parsed.withColumn("partition_id", F.spark_partition_id())
+                .groupBy("chunk", "partition_id")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.count(F.when(F.col("unparsed_data").isNull(), 1)).alias("n_parsed"),
+                    F.count(F.when(F.col("unparsed_data").isNotNull(), 1)).alias("n_unparsed"),
+                    F.min("doc_id").alias("min_doc_id"),
+                    F.max("doc_id").alias("max_doc_id"),
+                )
+                .collect()
+            )
+        finally:
+            parsed.unpersist()
+        by_chunk: dict[int, list] = {c: [] for c in wave}
+        for r in lineage_rows:
+            d = r.asDict()
+            by_chunk[d.pop("chunk")].append(d)
+        for c in wave:
+            man.mark(c, by_chunk[c])
+            done += 1
     return man

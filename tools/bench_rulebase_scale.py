@@ -1,0 +1,66 @@
+"""Rulebase-size scaling microbenchmark for the vectorized matcher.
+
+Builds synthetic rulebases of N rules (distinct program-name leading
+literals, the shape of real syslog rulebases), a near-miss-heavy workload
+(80% matching rows, 20% rows that share a rule's literal prefix but die in
+the motif tail — the worst case: every cohort regex runs AND the walker
+fallback fires), and prints rows/s per rulebase size.
+
+Run: python tools/bench_rulebase_scale.py [sizes...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+
+from liblognorm_spark.compiler.compiler import compile_rulebase
+from liblognorm_spark.rulebase.loader import Rulebase
+from liblognorm_spark.runtime.matcher import match_batch
+
+N_ROWS = 20000
+
+
+def build_rulebase(n_rules: int) -> str:
+    lines = ["version=2"]
+    for i in range(n_rules):
+        lines.append(
+            f"rule=r{i}:prog{i}[%pid:number%]: action %act:word% from %ip:ipv4%"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def build_workload(n_rules: int, n_rows: int = N_ROWS) -> pd.Series:
+    rows = []
+    for j in range(n_rows):
+        i = (j * 7919) % n_rules
+        if j % 5 == 0:  # near-miss: right prefix, bad ip -> unparsed
+            rows.append(f"prog{i}[123]: action login from 10.0.0.999")
+        else:
+            rows.append(f"prog{i}[123]: action login from 10.0.0.{j % 200}")
+    return pd.Series(rows, dtype=object)
+
+
+def main():
+    sizes = [int(s) for s in sys.argv[1:]] or [8, 128, 512, 2048]
+    for n in sizes:
+        crb = compile_rulebase(Rulebase.from_string(build_rulebase(n)))
+        texts = build_workload(n)
+        match_batch(crb, texts.head(500))  # warm
+        t0 = time.perf_counter()
+        out = match_batch(crb, texts)
+        dt = time.perf_counter() - t0
+        unparsed = int(out["unparsed_data"].notna().sum())
+        print(
+            f"rules={n:5d} rows={len(texts)} wall={dt:6.2f}s "
+            f"rows/s={len(texts) / dt:9.0f} unparsed={unparsed}"
+        )
+
+
+if __name__ == "__main__":
+    main()
