@@ -30,6 +30,18 @@ def build_parser():
     p.add_argument("-t", dest="tag", help="output only events with this tag")
     p.add_argument("-T", dest="add_original", action="store_true",
                    help="include originalmsg in parsed events")
+    p.add_argument("-U", dest="nbr_unparsed", action="store_true",
+                   help="print number of unparsed messages to stderr (if non-zero)")
+    p.add_argument("-L", dest="line_nbr", action="store_true",
+                   help="add lognormalizer.line_nbr to unparsed events")
+    p.add_argument("-o", dest="ctx_opts", action="append", default=[],
+                   metavar="OPT",
+                   help="context option: allowRegex, addExecPath, "
+                        "addOriginalMsg, addRule, addRuleLocation")
+    p.add_argument("-S", dest="ext_stats_file", metavar="FILE",
+                   help="write extended per-rule statistics ('-' = stdout)")
+    p.add_argument("-x", dest="stats_dot_file", metavar="FILE",
+                   help="write rulebase DOT annotated with match counts")
     p.add_argument("-H", dest="summary", action="store_true",
                    help="print a summary line (records/parsed/unparsed)")
     p.add_argument("-s", dest="stats", action="store_true",
@@ -48,11 +60,18 @@ def main(argv=None) -> int:
     from liblognorm_spark.encoders import ENCODERS
     from liblognorm_spark.rulebase.loader import Rulebase
 
+    VALID_OPTS = {"allowRegex", "addExecPath", "addOriginalMsg", "addRule", "addRuleLocation"}
+    for o in args.ctx_opts:
+        if o not in VALID_OPTS:  # lognormalizer.c:304: invalid -o exits 1
+            print(f"invalid -o option '{o}'", file=sys.stderr)
+            return 1
+    opts = frozenset(args.ctx_opts)
+
     if args.rulebase_string:
-        rb = Rulebase.from_string(args.rulebase_string)
+        rb = Rulebase.from_string(args.rulebase_string, opts=opts)
     elif args.rulebase:
         try:
-            rb = Rulebase.from_file(args.rulebase)
+            rb = Rulebase.from_file(args.rulebase, opts=opts)
         except OSError as e:
             print(f"error: cannot open rulebase '{args.rulebase}': {e.strerror}", file=sys.stderr)
             return 1
@@ -84,7 +103,14 @@ def main(argv=None) -> int:
 
     import pandas as pd
 
-    res = match_batch(crb, pd.Series(lines, dtype=object))
+    res = match_batch(
+        crb,
+        pd.Series(lines, dtype=object),
+        add_rule_location="addRuleLocation" in opts,
+        add_originalmsg="addOriginalMsg" in opts,
+        add_rule_mockup="addRule" in opts,
+        add_exec_path="addExecPath" in opts,
+    )
     num_parsed = num_unparsed = num_wrongtag = 0
     rule_hits: dict[int, int] = {}
     for i in range(len(res)):
@@ -106,7 +132,14 @@ def main(argv=None) -> int:
                 continue
         if args.add_original and not unparsed:
             ev["originalmsg"] = lines[i]
+        if args.line_nbr and unparsed:
+            # lognormalizer.c:167-176 amendLineNbr (1-based input line)
+            ev["lognormalizer.line_nbr"] = i + 1
         print(enc(ev, csv_fields))
+    if args.nbr_unparsed and num_unparsed > 0:
+        print(f"{num_unparsed} unparsable entries", file=sys.stderr)
+    if num_wrongtag > 0:
+        print(f"{num_wrongtag} entries with wrong tag dropped", file=sys.stderr)
     if args.summary:
         print(f"{len(lines)} records processed, {num_parsed} parsed, {num_unparsed} unparsed",
               file=sys.stderr)
@@ -116,7 +149,32 @@ def main(argv=None) -> int:
             r = by_id.get(rid)
             loc = f"{r.rb_file}:{r.rb_line}" if r else "?"
             print(f"rule {rid} ({loc}): {n} matches", file=sys.stderr)
+    if args.ext_stats_file:
+        _write_ext_stats(args.ext_stats_file, crb, rule_hits, num_unparsed)
+    if args.stats_dot_file:
+        from liblognorm_spark.compiler.dot import rulebase_to_dot
+
+        with open(args.stats_dot_file, "w") as f:
+            f.write(rulebase_to_dot(crb, hits=rule_hits))
     return 0
+
+
+def _write_ext_stats(path: str, crb, rule_hits: dict[int, int], num_unparsed: int) -> None:
+    """Extended per-rule statistics (-S; the pdag-stats analogue of
+    lognormalizer.c:389-403).  '-' writes to stdout."""
+    out = sys.stdout if path == "-" else open(path, "w")
+    try:
+        out.write("rule_id\tfile\tline\tmatches\ttags\n")
+        for cr in crb.rules:
+            n = rule_hits.get(cr.rule_id, 0)
+            out.write(
+                f"{cr.rule_id}\t{cr.rule.rb_file}\t{cr.rule.rb_line}\t{n}\t"
+                f"{','.join(cr.tags)}\n"
+            )
+        out.write(f"unparsed\t-\t-\t{num_unparsed}\t-\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
 
 
 def _main_spark(args, crb, csv_fields) -> int:

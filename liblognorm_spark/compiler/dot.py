@@ -21,8 +21,10 @@ def _label(item) -> str:
     return item.ptype + (f":{item.name}" if item.name else "")
 
 
-def rulebase_to_dot(crb) -> str:
-    """CompiledRulebase -> DOT text."""
+def rulebase_to_dot(crb, hits: dict | None = None) -> str:
+    """CompiledRulebase -> DOT text.  With `hits` (rule_id -> match count,
+    the -x statistics DOT of lognormalizer.c:377-388), terminal nodes carry
+    their match counts and unmatched rules are grayed."""
     lines = ["digraph pdag {", "  rankdir=LR;", '  node [shape=box, fontsize=9];']
     nid = [0]
 
@@ -48,7 +50,13 @@ def rulebase_to_dot(crb) -> str:
             parent = node[key]["__id"]
             node = node[key]
         tags = ",".join(cr.tags) or "(untagged)"
-        term = new_node(f"rule {cr.rule_id}\\ntags: {tags}", term=True)
+        label = f"rule {cr.rule_id}\\ntags: {tags}"
+        if hits is not None:
+            n = hits.get(cr.rule_id, 0)
+            label += f"\\nmatches: {n}"
+        term = new_node(label, term=True)
+        if hits is not None and hits.get(cr.rule_id, 0) == 0:
+            lines[-1] = lines[-1].replace('fillcolor="#e8f4e8"', 'fillcolor="#eeeeee"')
         lines.append(f"  {parent} -> {term};")
     lines.append("}")
     return "\n".join(lines)

@@ -1048,8 +1048,69 @@ def parse_string(text, offs, params):
 
 # ------------------------------------------------------------ registry
 
+def configure_regex(params: dict, allowed: bool) -> str | None:
+    """Load-time validation for the v1-compat ``regex`` motif
+    (src/v1_parser.c:1316-1420 regex_parser_data_constructor).
+
+    extradata is colon-split (patterns escape ':' as \\x3a, exactly like
+    the reference's pcons args): pattern[:consume_group[:return_group]].
+    consume defaults to 0, return defaults to consume; empty or non-numeric
+    group args are load errors, as is an uncompilable pattern or using the
+    motif without the allowRegex option (LN_CTXOPT_ALLOW_REGEX,
+    liblognorm.h:142).  On success stores the compiled pattern + group
+    numbers into params and returns None; else returns the error string."""
+    if not allowed:
+        return "regex support is not enabled (pass option allowRegex)"
+    ed = params.get("extradata_raw") or params.get("extradata") or ""
+    args = ed.split(":")
+    pattern = args[0]
+    if not pattern:
+        return "regex: pattern missing"
+    consume_s = args[1] if len(args) > 1 else "0"
+    return_s = args[2] if len(args) > 2 else consume_s
+    if not consume_s or not consume_s.isdigit():
+        return "regex: couldn't parse consume-group number"
+    if not return_s or not return_s.isdigit():
+        return "regex: couldn't parse return-group number"
+    try:
+        rx = re.compile(pattern)
+    except re.error as e:
+        return f"regex: couldn't compile pattern: {e}"
+    params["_rx"] = rx
+    params["consume_group"] = int(consume_s)
+    params["return_group"] = int(return_s)
+    return None
+
+
+def parse_regex(text, offs, params):
+    """v1 ``regex`` motif, src/v1_parser.c:1275-1313 PARSER(Regex).
+
+    Reference quirks reproduced faithfully: the parser ALWAYS succeeds
+    (r = 0 unconditionally); it consumes the consume-group's span only when
+    that group participated AND starts exactly at offs, else consumes 0;
+    the value is the return group's text when return != consume, otherwise
+    the consumed substring.  (PCRE vs Python `re` dialect differences are
+    out of scope — the reference's own tests use the common subset.)"""
+    rx = params["_rx"]
+    cg = params["consume_group"]
+    rg = params["return_group"]
+    consumed = 0
+    value = ""
+    m = rx.search(text, offs)
+    if m is not None and cg <= rx.groups:
+        start, end = m.span(cg)
+        if start == offs:
+            consumed = end - start
+            if rg != cg:
+                value = m.group(rg) if rg <= rx.groups and m.group(rg) is not None else ""
+            else:
+                value = text[offs:offs + consumed]
+    return (consumed, value)
+
+
 PARSERS = {
     "literal": parse_literal,
+    "regex": parse_regex,
     "whitespace": parse_whitespace,
     "word": parse_word,
     "alpha": parse_alpha,

@@ -195,20 +195,24 @@ class Rulebase:
     types: dict[str, list] = field(default_factory=dict)  # name -> list[Seq] (alternatives)
     annotations: dict[str, dict[str, str]] = field(default_factory=dict)  # tag -> {field: value}
     errors: list[str] = field(default_factory=list)
+    # context options, the ln_setCtxOpts analogue (liblognorm.h:136-150);
+    # currently meaningful here: "allowRegex" gates the v1-compat regex motif
+    opts: set = field(default_factory=set)
 
     # ---------------- construction ----------------
 
     @classmethod
-    def from_string(cls, text: str, *, base_dir: str | None = None, name: str = "--") -> "Rulebase":
-        rb = cls()
+    def from_string(cls, text: str, *, base_dir: str | None = None, name: str = "--",
+                    opts: set | frozenset = frozenset()) -> "Rulebase":
+        rb = cls(opts=set(opts))
         rb._load_text(text, base_dir=base_dir, name=name, include_level=1)
         return rb
 
     @classmethod
-    def from_file(cls, path: str) -> "Rulebase":
+    def from_file(cls, path: str, *, opts: set | frozenset = frozenset()) -> "Rulebase":
         with open(path, encoding="utf-8", errors="surrogateescape") as f:
             text = f.read()
-        rb = cls()
+        rb = cls(opts=set(opts))
         rb._load_text(text, base_dir=os.path.dirname(path) or ".", name=path, include_level=1)
         return rb
 
@@ -288,6 +292,7 @@ class Rulebase:
             return
         try:
             seq = parse_template(template)
+            self._configure_seq(seq)
         except RulebaseError as e:
             self.errors.append(f"rule line {lineno}: {e}")
             return
@@ -321,10 +326,32 @@ class Rulebase:
             return
         try:
             seq = parse_template(template)
+            self._configure_seq(seq)
         except RulebaseError as e:
             self.errors.append(f"type {tname}: {e}")
             return
         self.types.setdefault(tname, []).append(seq)
+
+    def _configure_seq(self, seq: Seq) -> None:
+        """Load-time parser configuration that needs rulebase context —
+        the analogue of the reference's parser-data constructors running at
+        rule load.  Currently: the v1-compat regex motif (gated on the
+        allowRegex option); a configuration error fails the whole rule,
+        which the reference reports and drops (v1_samp.c:236-242)."""
+        from liblognorm_spark.compiler.motifs import configure_regex
+
+        for item in seq:
+            if isinstance(item, Alt):
+                for sub in item.alts:
+                    self._configure_seq(sub)
+                continue
+            if item.ptype == "regex":
+                err = configure_regex(item.params, "allowRegex" in self.opts)
+                if err:
+                    raise RulebaseError(err)
+            elif item.ptype == "repeat":
+                self._configure_seq(item.params.get("parser_seq") or [])
+                self._configure_seq(item.params.get("while_seq") or [])
 
     # annotate=tag:+field="value"  (src/samp.c:726-821)
     def _process_annotate(self, rest: str) -> None:
@@ -502,6 +529,10 @@ def parse_field_descr(buf: str, i: int, seq: Seq) -> int:
             ed.append(buf[i])
             i += 1
         conf["extradata"] = unescape("".join(ed))
+        # regex needs the PRE-unescape form: its args are colon-split on the
+        # raw text (patterns escape ':' as \x3a, which the regex engine
+        # itself interprets) — unescaping first would corrupt the split
+        conf["extradata_raw"] = "".join(ed)
     append_parser_conf(seq, conf)
     return i
 

@@ -186,10 +186,48 @@ def _cohort_dispatch(crb: CompiledRulebase):
     return crb._dispatch
 
 
+def _exec_path_of(crb: CompiledRulebase, rule) -> str:
+    """metadata.exec-path string for a matched rule (pdag.h:19, emission
+    pdag.c:1268-1293 under LN_CTXOPT_ADD_EXEC_PATH).
+
+    The reference records the actual recursive walk (one entry per parser
+    call, leading recursion level, literals quoted per char, [R:USR] after
+    a custom-type return, [B] on backtrack, and a PATHLEN/PARSER CALLS
+    trailer).  The vectorized engine matches without an equivalent walk, so
+    this reconstructs the DETERMINISTIC final path — the same entries and
+    trailer a backtrack-free reference walk of the matched rule would
+    produce; backtrack markers are intentionally absent."""
+    cache = getattr(crb, "_exec_paths", None)
+    if cache is None:
+        cache = crb._exec_paths = {}
+    s = cache.get(rule.rule_id)
+    if s is None:
+        from liblognorm_spark.rulebase.loader import Alt, PNode
+
+        toks: list[str] = []
+        nlit = 0
+        for item in rule.seq:
+            if isinstance(item, Alt):
+                toks.append("alternative")
+            elif item.ptype == "literal" and item.name is None:
+                for ch in item.params.get("text", ""):
+                    toks.append(f"'{ch}'")
+                    nlit += 1
+            elif item.ptype == "custom":
+                toks.append(item.params["typename"] + ",[R:USR]")
+            else:
+                toks.append(item.ptype)
+        s = "".join(f"{i + 1}:{t}," for i, t in enumerate(toks))
+        s += f"[PATHLEN:{len(toks)}, PARSER CALLS gen:{len(toks)}, literal:{nlit}]"
+        cache[rule.rule_id] = s
+    return s
+
+
 def match_batch(crb: CompiledRulebase, texts: pd.Series,
                 add_rule_location: bool = False,
                 add_originalmsg: bool = False,
-                add_rule_mockup: bool = False) -> pd.DataFrame:
+                add_rule_mockup: bool = False,
+                add_exec_path: bool = False) -> pd.DataFrame:
     """Normalize a batch of messages.  Returns a DataFrame with
     MATCH_FIELDS_DDL columns, index-aligned positionally with `texts`.
 
@@ -224,13 +262,18 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
         _finalize_event(crb, cr, ev)
         if add_originalmsg:
             ev["originalmsg"] = t
-        if add_rule_location or add_rule_mockup:
+        if add_rule_location or add_rule_mockup or add_exec_path:
+            meta = {}
             meta_rule = {}
             if add_rule_mockup:
                 meta_rule["mockup"] = cr.rule.raw
             if add_rule_location:
                 meta_rule["location"] = {"file": cr.rule.rb_file, "line": cr.rule.rb_line}
-            ev["metadata"] = {"rule": meta_rule}
+            if meta_rule:
+                meta["rule"] = meta_rule
+            if add_exec_path:
+                meta["exec-path"] = _exec_path_of(crb, cr.rule)
+            ev["metadata"] = meta
         rule_id[pos] = cr.rule_id
         tags[pos] = list(cr.tags)
         fields_json[pos] = _dumps(ev)
@@ -320,13 +363,18 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
         else:
             if add_originalmsg:
                 ev["originalmsg"] = t
-            if add_rule_location or add_rule_mockup:
+            if add_rule_location or add_rule_mockup or add_exec_path:
+                meta = {}
                 meta_rule = {}
                 if add_rule_mockup:
                     meta_rule["mockup"] = rule.raw
                 if add_rule_location:
                     meta_rule["location"] = {"file": rule.rb_file, "line": rule.rb_line}
-                ev["metadata"] = {"rule": meta_rule}
+                if meta_rule:
+                    meta["rule"] = meta_rule
+                if add_exec_path:
+                    meta["exec-path"] = _exec_path_of(crb, rule)
+                ev["metadata"] = meta
             rule_id[pos] = rule.rule_id
             tags[pos] = list(rule.tags)
             fields_json[pos] = _dumps(ev)

@@ -153,6 +153,44 @@ def test_cli_end_to_end(tmp_path):
     assert "2 records processed, 1 parsed, 1 unparsed" in r.stderr
 
 
+def test_cli_ctx_opts_and_diagnostics(tmp_path):
+    """-o ctx options (addRuleLocation/addRule/addExecPath), -U, -L, -S, -x
+    (lognormalizer.c:293-308 handle_generic_option, 420-424, 377-403)."""
+    rb = tmp_path / "t.rulebase"
+    rb.write_text("version=2\nrule=tag1:%w:word% %n:number%\n")
+    inp = tmp_path / "in.log"
+    inp.write_text("hello 42\nnomatch line !\n")
+    stats = tmp_path / "stats.tsv"
+    dot = tmp_path / "stats.dot"
+    r = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb),
+         "-oaddRuleLocation", "-oaddRule", "-oaddExecPath",
+         "-U", "-L", "-S", str(stats), "-x", str(dot), str(inp)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0
+    lines = r.stdout.strip().split("\n")
+    ev0 = json.loads(lines[0])
+    meta = ev0["metadata"]
+    assert meta["rule"]["location"]["file"] == str(rb)
+    assert meta["rule"]["location"]["line"] == 2
+    assert "%w:word%" in meta["rule"]["mockup"]
+    assert "word" in meta["exec-path"] and "PATHLEN" in meta["exec-path"]
+    ev1 = json.loads(lines[1])
+    assert ev1["lognormalizer.line_nbr"] == 2  # unparsed row gets line nbr
+    assert "1 unparsable entries" in r.stderr  # -U
+    st = stats.read_text()
+    assert "rule_id" in st and "\t1\t" in st  # one match recorded
+    assert "matches: 1" in dot.read_text()
+    # invalid -o exits 1 (lognormalizer.c:304)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb),
+         "-obogus", str(inp)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r2.returncode == 1 and "invalid -o option" in r2.stderr
+
+
 def test_cli_filters_and_encoders(tmp_path):
     rb = tmp_path / "t.rulebase"
     rb.write_text("version=2\nrule=tag1:%w:word%\n")
