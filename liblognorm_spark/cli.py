@@ -67,6 +67,10 @@ def main(argv=None) -> int:
             return 1
     opts = frozenset(args.ctx_opts)
 
+    if args.rulebase and args.rulebase_string:
+        # lognormalizer.c:481-484: -r and -R are mutually exclusive
+        print("error: both -r and -R given", file=sys.stderr)
+        return 1
     if args.rulebase_string:
         rb = Rulebase.from_string(args.rulebase_string, opts=opts)
     elif args.rulebase:

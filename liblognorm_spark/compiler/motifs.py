@@ -1108,9 +1108,77 @@ def parse_regex(text, offs, params):
     return (consumed, value)
 
 
+def configure_tokenized(params: dict, rulebase) -> str | None:
+    """Load-time config for the v1-compat ``tokenized`` motif
+    (src/v1_parser.c tokenized_parser_data_constructor): extradata is
+    'separator:field-descriptor' split on the FIRST raw colon (separator is
+    then unescaped; the descriptor keeps its colons — that is how
+    `tokenized:, :tokenized:#:number` nests).  The descriptor is itself a
+    field definition, configured recursively (so regex inside tokenized
+    still requires allowRegex, and tokenized nests arbitrarily)."""
+    from liblognorm_spark.rulebase.loader import PNode, parse_template, unescape
+
+    raw = params.get("extradata_raw") or params.get("extradata") or ""
+    idx = raw.find(":")
+    if idx < 0:
+        return "tokenized: field-type not provided"
+    tok = unescape(raw[:idx])
+    descr = raw[idx + 1:]
+    if not tok:
+        return "tokenized: token-separator not provided"
+    if not descr:
+        return "tokenized: field-type not provided"
+    try:
+        subseq = parse_template(f"%token:{descr}%")
+    except Exception as e:
+        return f"tokenized: couldn't resolve single-token field-type: {e}"
+    if len(subseq) != 1 or not isinstance(subseq[0], PNode):
+        return "tokenized: couldn't resolve single-token field-type"
+    if subseq[0].ptype not in PARSERS:
+        return f"tokenized: unknown field-type '{subseq[0].ptype}'"
+    rulebase._configure_seq(subseq)  # raises RulebaseError on bad nesting
+    params["_tok"] = tok
+    params["_subnode"] = subseq[0]
+    return None
+
+
+def parse_tokenized(text, offs, params):
+    """v1 ``tokenized`` motif, src/v1_parser.c:892-960 PARSER(Tokenized):
+    parse one sub-field, then loop 'separator + sub-field'; the value is
+    the array of token values (arrays nest for tokenized-in-tokenized).
+    A failure on the FIRST token fails the parser; a failure after a
+    consumed separator un-consumes that separator and stops (the
+    reference's `remaining_len += es_strlen(tok_str); break`)."""
+    from liblognorm_spark.runtime.walker import WalkState, try_parser
+
+    node = params["_subnode"]
+    tok = params["_tok"]
+    state = WalkState(text=text, strlen=len(text), types={})
+    matches: list = []
+    pos = offs
+    n = len(text)
+    while pos < n:
+        ok, consumed, value = try_parser(state, node, pos)
+        if not ok:
+            if matches:
+                pos -= len(tok)  # un-consume the separator before the failure
+                break
+            return None
+        matches.append(value)
+        pos += consumed
+        if text.startswith(tok, pos):
+            pos += len(tok)
+        else:
+            break
+    if not matches:
+        return None
+    return (pos - offs, matches)
+
+
 PARSERS = {
     "literal": parse_literal,
     "regex": parse_regex,
+    "tokenized": parse_tokenized,
     "whitespace": parse_whitespace,
     "word": parse_word,
     "alpha": parse_alpha,

@@ -349,6 +349,12 @@ class Rulebase:
                 err = configure_regex(item.params, "allowRegex" in self.opts)
                 if err:
                     raise RulebaseError(err)
+            elif item.ptype == "tokenized":
+                from liblognorm_spark.compiler.motifs import configure_tokenized
+
+                err = configure_tokenized(item.params, self)
+                if err:
+                    raise RulebaseError(err)
             elif item.ptype == "repeat":
                 self._configure_seq(item.params.get("parser_seq") or [])
                 self._configure_seq(item.params.get("while_seq") or [])

@@ -153,6 +153,21 @@ def test_cli_end_to_end(tmp_path):
     assert "2 records processed, 1 parsed, 1 unparsed" in r.stderr
 
 
+def test_cli_invalid_invocation(tmp_path):
+    """tests/lognormalizer-invld-call.sh: missing rulebase and -r with -R
+    must both be rejected."""
+    r = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli"],
+        capture_output=True, text=True, cwd=REPO, input="",
+    )
+    assert r.returncode == 1 and "no rulebase" in r.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", "test", "-R", "test"],
+        capture_output=True, text=True, cwd=REPO, input="",
+    )
+    assert r2.returncode == 1 and "both -r and -R" in r2.stderr
+
+
 def test_cli_ctx_opts_and_diagnostics(tmp_path):
     """-o ctx options (addRuleLocation/addRule/addExecPath), -U, -L, -S, -x
     (lognormalizer.c:293-308 handle_generic_option, 420-424, 377-403)."""
