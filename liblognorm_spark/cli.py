@@ -50,6 +50,10 @@ def build_parser():
                    help="write a DOT graph of the compiled rulebase and exit")
     p.add_argument("--spark", action="store_true", help="run distributed via Spark")
     p.add_argument("--text-col", default="value", help="text column (--spark parquet input)")
+    p.add_argument("--out", dest="out_dir", metavar="DIR",
+                   help="with --spark: write results to a parquet sink tree "
+                        "(partitioned by sink) instead of printing rows "
+                        "through the driver")
     p.add_argument("input", nargs="?", help="input file (default stdin)")
     return p
 
@@ -202,7 +206,26 @@ def _main_spark(args, crb, csv_fields) -> int:
         out = out.filter(F.col("unparsed_data").isNotNull())
     if args.tag:
         out = out.filter(F.array_contains(F.col("tags"), args.tag))
+    if args.out_dir:
+        # real-use path: encode + fan out to a partitioned sink tree on the
+        # executors — nothing is funneled through the driver
+        routed = out.withColumn(
+            "sink",
+            F.when(F.col("unparsed_data").isNotNull(), F.lit("unparsed")).otherwise(
+                F.coalesce(F.element_at(F.col("tags"), 1), F.lit("untagged"))
+            ),
+        )
+        routed = encode_df(routed, args.encoder, csv_fields)
+        (
+            routed.select("sink", "encoded")
+            .write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(args.out_dir)
+        )
+        return 0
     out = encode_df(out, args.encoder, csv_fields)
+    # CLI-parity path: rows print through the driver (fine for interactive
+    # use; pass --out for bulk jobs)
     for row in out.select("encoded").toLocalIterator():
         print(row[0])
     return 0

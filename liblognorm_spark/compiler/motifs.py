@@ -76,6 +76,14 @@ def civil_to_epoch(y, mo, d, h, mi, s, off_h=0, off_m=0, off_mode="+") -> int:
 # the shared `coerce` step so regex fast path and walker agree.
 
 
+def parse_never(text, offs, params):
+    """Always fails: the tail of a dead-end stub rule (a rule whose parser
+    config failed after its literal prefix was inserted — see
+    loader._process_rule).  The prefix still earns parsedTo credit; this
+    node guarantees the stub can never produce a match."""
+    return None
+
+
 def parse_literal(text, offs, params):
     """src/parser.c:1430-1450.  All-or-nothing here; per-char parsedTo
     credit on mismatch (the reference's per-char literal PDAG nodes) is
@@ -1129,16 +1137,10 @@ def configure_tokenized(params: dict, rulebase) -> str | None:
     if not descr:
         return "tokenized: field-type not provided"
     try:
-        subseq = parse_template(f"%token:{descr}%")
+        params["_subnode"] = _build_subnode(descr, rulebase)
     except Exception as e:
-        return f"tokenized: couldn't resolve single-token field-type: {e}"
-    if len(subseq) != 1 or not isinstance(subseq[0], PNode):
-        return "tokenized: couldn't resolve single-token field-type"
-    if subseq[0].ptype not in PARSERS:
-        return f"tokenized: unknown field-type '{subseq[0].ptype}'"
-    rulebase._configure_seq(subseq)  # raises RulebaseError on bad nesting
+        return f"tokenized: {e}"
     params["_tok"] = tok
-    params["_subnode"] = subseq[0]
     return None
 
 
@@ -1175,10 +1177,154 @@ def parse_tokenized(text, offs, params):
     return (pos - offs, matches)
 
 
+def _build_subnode(descr: str, rulebase):
+    """Parse a v1 sub-field descriptor into one PNode and configure it
+    recursively (shared by tokenized/interpret/suffixed)."""
+    from liblognorm_spark.rulebase.loader import PNode, parse_template
+
+    subseq = parse_template(f"%token:{descr}%")
+    if len(subseq) != 1 or not isinstance(subseq[0], PNode):
+        raise ValueError("couldn't resolve sub-field descriptor")
+    if subseq[0].ptype not in PARSERS:
+        raise ValueError(f"unknown field-type '{subseq[0].ptype}'")
+    rulebase._configure_seq(subseq)
+    return subseq[0]
+
+
+INTERPRET_TYPES = {"int", "base10int", "base16int", "float", "bool"}
+
+
+def configure_interpret(params: dict, rulebase) -> str | None:
+    """v1 ``interpret`` motif config (src/v1_parser.c
+    interpret_parser_data_constructor): extradata = 'type:field-descriptor';
+    type in int|base10int|base16int|float|bool."""
+    raw = params.get("extradata_raw") or params.get("extradata") or ""
+    idx = raw.find(":")
+    if idx < 0:
+        return "interpret: field-type not provided"
+    type_str, descr = raw[:idx], raw[idx + 1:]
+    if type_str not in INTERPRET_TYPES:
+        return f"interpret: unknown interpret-type '{type_str}'"
+    if not descr:
+        return "interpret: field-type not provided"
+    try:
+        params["_subnode"] = _build_subnode(descr, rulebase)
+    except Exception as e:
+        return f"interpret: {e}"
+    params["_itype"] = type_str
+    return None
+
+
+def _strtol(s: str, base: int) -> int:
+    """C strtol: longest valid leading prefix, 0 if none."""
+    i, n = 0, len(s)
+    if i < n and s[i] in "+-":
+        i += 1
+    digits = "0123456789abcdef"[:base]
+    j = i
+    while j < n and s[j].lower() in digits:
+        j += 1
+    if j == i:
+        return 0
+    return int(s[:j], base)
+
+
+_STRTOD_RE = re.compile(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _strtod(s: str) -> float:
+    m = _STRTOD_RE.match(s)
+    return float(m.group(0)) if m else 0.0
+
+
+def parse_interpret(text, offs, params):
+    """v1 ``interpret`` motif, src/v1_parser.c:1474-1505 PARSER(Interpret):
+    parse the sub-field, reinterpret its string value (strtol/strtod/bool
+    semantics — json-c's coercions); a sub-field miss is the usual v1
+    success-with-0-consumed quirk."""
+    from liblognorm_spark.runtime.walker import WalkState, try_parser
+
+    state = WalkState(text=text, strlen=len(text), types={})
+    ok, consumed, value = try_parser(state, params["_subnode"], offs)
+    if not ok:
+        return (0, "")
+    s = value if isinstance(value, str) else str(value)
+    it = params["_itype"]
+    if it in ("int", "base10int"):
+        out = _strtol(s, 10)
+    elif it == "base16int":
+        out = _strtol(s, 16)
+    elif it == "float":
+        out = _strtod(s)
+    else:  # bool: false/no (any case) -> false, everything else -> true
+        out = s.lower() not in ("false", "no")
+    return (consumed, out)
+
+
+def configure_suffixed(params: dict, rulebase, named: bool) -> str | None:
+    """v1 ``suffixed``/``named_suffixed`` motif config (src/v1_parser.c
+    _suffixed_parser_data_constructor): extradata =
+    [valueName:suffixName:]tokenizer:suffixList:field-descriptor; tokenizer
+    and suffix list are unescaped AFTER the raw colon split (\\x3a hides a
+    colon), and the tokenizer chars split the suffix list strtok-style."""
+    raw = params.get("extradata_raw") or params.get("extradata") or ""
+    parts = raw.split(":")
+    need = 5 if named else 3
+    if len(parts) < need:
+        return "suffixed: too few arguments"
+    if named:
+        vname, sname = parts[0], parts[1]
+        parts = parts[2:]
+    else:
+        vname, sname = "value", "suffix"
+    from liblognorm_spark.rulebase.loader import unescape
+
+    tok = unescape(parts[0])
+    sufs_raw = unescape(parts[1])
+    descr = ":".join(parts[2:])
+    if not vname or not sname:
+        return "suffixed: value/suffix field name empty"
+    if not tok:
+        return "suffixed: tokenizer not provided"
+    sufs = [t for t in re.split("[" + re.escape(tok) + "]", sufs_raw) if t]
+    if not sufs:
+        return "suffixed: suffix list empty"
+    if not descr:
+        return "suffixed: field-type not provided"
+    try:
+        params["_subnode"] = _build_subnode(descr, rulebase)
+    except Exception as e:
+        return f"suffixed: {e}"
+    params["_vname"], params["_sname"], params["_sufs"] = vname, sname, sufs
+    return None
+
+
+def parse_suffixed(text, offs, params):
+    """v1 ``suffixed`` motif, src/v1_parser.c PARSER(Suffixed): parse the
+    sub-field, then the FIRST suffix (in list order) that prefixes the
+    remaining text is consumed; value = {valueName: v, suffixName: s}.
+    No suffix match / sub-field miss -> the v1 success-with-0 quirk."""
+    from liblognorm_spark.runtime.walker import WalkState, try_parser
+
+    state = WalkState(text=text, strlen=len(text), types={})
+    ok, consumed, value = try_parser(state, params["_subnode"], offs)
+    if not ok:
+        return (0, "")
+    end = offs + consumed
+    for suf in params["_sufs"]:
+        if text.startswith(suf, end):
+            return (consumed + len(suf), {params["_vname"]: value, params["_sname"]: suf})
+    return (0, "")
+
+
 PARSERS = {
     "literal": parse_literal,
+    "never": parse_never,
     "regex": parse_regex,
     "tokenized": parse_tokenized,
+    "interpret": parse_interpret,
+    "suffixed": parse_suffixed,
+    "named_suffixed": parse_suffixed,
     "whitespace": parse_whitespace,
     "word": parse_word,
     "alpha": parse_alpha,

@@ -72,6 +72,18 @@ SHINGLE_K = 3  # word shingles
 DEFAULT_MAX_BUCKET = 200  # LSH band-bucket cap (k docs in a band -> k^2 pairs)
 
 
+def _spread(df):
+    """Repartition up to the session's default parallelism when the input
+    arrives in fewer partitions (a small parquet file = one split = one
+    task doing ALL the hashing).  At 100 TB inputs already carry >= cores
+    partitions and this is a no-op; the repartition costs one tiny shuffle
+    of the raw rows, far less than serializing the hash work."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _word_shingles(col, k: int = SHINGLE_K):
     """k-word shingles as an array column, built with JVM-side higher-order
     functions (no Python)."""
@@ -107,7 +119,7 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: in
     aggregation combines map-side, and the shingle-construction expression
     is evaluated exactly once (building n array_min(transform(...)) trees
     over the raw expression would inline the shingle builder n times)."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle")
     )
     hashed = sh.select(
@@ -216,7 +228,7 @@ def simhash(df, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMH
     hash is md5-derived (see _hmd5_long) so the whole operator has an exact
     DuckDB oracle."""
     words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
-    base = df.select(F.col(id_col), words)
+    base = _spread(df).select(F.col(id_col), words)
     wh = base.withColumn("wh", _hmd5_long(F.col("w"), SIMHASH_SEED))
     agg_exprs = [
         F.sum(

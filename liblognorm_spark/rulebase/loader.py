@@ -292,9 +292,32 @@ class Rulebase:
             return
         try:
             seq = parse_template(template)
+        except RulebaseError as e:
+            self.errors.append(f"rule line {lineno}: {e}")
+            return
+        try:
             self._configure_seq(seq)
         except RulebaseError as e:
             self.errors.append(f"rule line {lineno}: {e}")
+            # The reference engines insert parse-tree nodes INCREMENTALLY
+            # while reading a sample, so a parser-config failure mid-rule
+            # leaves the already-inserted literal prefix as a dead-end path
+            # that still earns parsedTo credit (v1_parser.c constructors
+            # abort after the prefix chars are in the tree; exercised by
+            # field_suffixed_with_invalid_ruledef.sh's partial
+            # unparsed-data).  Model it as a never-matching stub rule.
+            stub: Seq = []
+            for it in seq:
+                if isinstance(it, PNode) and it.ptype == "literal" and it.name is None:
+                    stub.append(it)
+                else:
+                    break
+            if stub:
+                stub.append(PNode(ptype="never", params={}))
+                self.rules.append(
+                    Rule(rule_id=len(self.rules), tags=[], seq=stub,
+                         rb_file=fname, rb_line=lineno, raw=template)
+                )
             return
         self.rules.append(
             Rule(
@@ -353,6 +376,18 @@ class Rulebase:
                 from liblognorm_spark.compiler.motifs import configure_tokenized
 
                 err = configure_tokenized(item.params, self)
+                if err:
+                    raise RulebaseError(err)
+            elif item.ptype == "interpret":
+                from liblognorm_spark.compiler.motifs import configure_interpret
+
+                err = configure_interpret(item.params, self)
+                if err:
+                    raise RulebaseError(err)
+            elif item.ptype in ("suffixed", "named_suffixed"):
+                from liblognorm_spark.compiler.motifs import configure_suffixed
+
+                err = configure_suffixed(item.params, self, item.ptype == "named_suffixed")
                 if err:
                     raise RulebaseError(err)
             elif item.ptype == "repeat":

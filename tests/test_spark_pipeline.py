@@ -153,6 +153,25 @@ def test_cli_end_to_end(tmp_path):
     assert "2 records processed, 1 parsed, 1 unparsed" in r.stderr
 
 
+def test_cli_spark_sink_mode(spark, tmp_path):
+    """--spark --out writes an encoded, sink-partitioned parquet tree on
+    the executors instead of printing rows through the driver."""
+    from liblognorm_spark.cli import main
+
+    rb = tmp_path / "t.rulebase"
+    rb.write_text("version=2\nrule=ssh:sshd: %w:word%\nrule=kv:%f:name-value-list%\n")
+    inp = tmp_path / "in.log"
+    inp.write_text("sshd: hello\nuser=x\njunk\n")
+    out = tmp_path / "sinks"
+    rc = main(["-r", str(rb), "--spark", "--out", str(out), str(inp)])
+    assert rc == 0
+    res = spark.read.parquet(str(out))
+    got = {r["sink"]: r["encoded"] for r in res.collect()}
+    assert set(got) == {"ssh", "kv", "unparsed"}
+    assert json.loads(got["ssh"])["w"] == "hello"
+    assert "unparsed-data" in json.loads(got["unparsed"])
+
+
 def test_cli_invalid_invocation(tmp_path):
     """tests/lognormalizer-invld-call.sh: missing rulebase and -r with -R
     must both be rejected."""
