@@ -615,6 +615,7 @@ class CompiledRulebase:
     annotations: dict
     errors: list[str] = field(default_factory=list)
     cohorts: list = field(default_factory=list)  # MatchCohort | CompiledRule
+    version: int = 2  # rulebase engine version (1 = no version=2 header)
 
     @property
     def ordered_rules(self):
@@ -659,4 +660,5 @@ def compile_rulebase(rb: Rulebase) -> CompiledRulebase:
         annotations=rb.annotations,
         errors=list(rb.errors),
         cohorts=cohorts,
+        version=getattr(rb, "version", 2),
     )

@@ -22,6 +22,7 @@ of ``\\d``/``\\s``/``\\w`` which are unicode-aware on Python str.
 from __future__ import annotations
 
 import json as _json
+import os
 import re
 from datetime import datetime, timezone
 
@@ -901,8 +902,22 @@ def parse_cef(text, offs, params):
             return None
         i, val = r
         hdr.append(val)
-    while i < n and text[i] == " ":
-        i += 1
+    v1 = bool(params.get("_v1_engine"))
+    if v1:
+        # v1 engine (rulebase without version=2): after the terminal '|'
+        # the v1 parser skips exactly ONE char (v1_parser.c '++i; /* skip
+        # over terminal |*/' — the pipes were already consumed by
+        # cefGetHdrField, so this eats the single separator space), and its
+        # extension loop has no pre-space-skip: entering with only spaces
+        # left dies at the name guard.  Hence field_cef_v1.sh's 'single
+        # trailing space - valid' but 'multiple trailing spaces - invalid',
+        # where v2 (parser.c:3002) skips ALL spaces before the loop and
+        # accepts both.
+        if i < n:
+            i += 1
+    else:
+        while i < n and text[i] == " ":
+            i += 1
     ext: dict = {}
     while i < n:
         while i < n and text[i] == " ":
@@ -914,6 +929,8 @@ def parse_cef(text, offs, params):
             i += 1
         if i >= n or text[i] != "=":
             return None
+        if v1 and i + 1 >= n:
+            return None  # v1 name guard is 'i+1 >= strLen': '=' at EOS fails
         name = text[i_name:i]
         i += 1
         i_val = i
@@ -1161,6 +1178,10 @@ def parse_tokenized(text, offs, params):
     n = len(text)
     while pos < n:
         ok, consumed, value = try_parser(state, node, pos)
+        # a 0-consumed no-value success (recursive's unparsed branch) would
+        # loop forever on the same offset; treat it as a token miss
+        if ok and value is NO_VALUE and consumed == 0:
+            ok = False
         if not ok:
             if matches:
                 pos -= len(tok)  # un-consume the separator before the failure
@@ -1317,9 +1338,100 @@ def parse_suffixed(text, offs, params):
     return (0, "")
 
 
+# ------------------------------------------------------------ v1 recursive / descent
+
+NO_VALUE = object()
+"""Sentinel: parser SUCCESS whose value must not be attached as a field.
+The v1 recursive parser's unparsed branch returns r=0 with *value == NULL
+and *parsed == 0 (src/v1_parser.c:906-910) — the engine then adds no field
+and continues the rule at the same offset."""
+
+
+def configure_recursive(params: dict, rulebase) -> str | None:
+    """v1 ``recursive`` field config (src/v1_parser.c:985-988): ONE pcons
+    arg — the whole extradata, colons included (pcons_args with
+    expected_argc=1 never splits, v1_parser.c:136-147) — names the
+    remaining/tail field, default 'tail'.  The sub-context is the rulebase
+    itself (identity ctx constructor, v1_parser.c:967-971) and is LIVE:
+    rules added after this one are visible at parse time."""
+    raw = params.get("extradata_raw")
+    params["_remaining"] = "tail" if raw is None else raw
+    params["_sub_rb"] = rulebase
+    return None
+
+
+def configure_descent(params: dict, rulebase) -> str | None:
+    """v1 ``descent`` field config (src/v1_parser.c:990-1011): extradata =
+    2 pcons args 'rulebase-file[:remaining-field]'; arg 0 is unescaped
+    (pcons_unescape_arg), arg 1 defaults to 'tail' when ABSENT but stays
+    empty when present-and-empty (trailing colon), which disables tail
+    stripping — exercised by field_descent_with_invalid_ruledef.sh's
+    'empty tail-field given' case.  The child rulebase loads at rule-load
+    time; any failure is a config error that drops the rule."""
+    from liblognorm_spark.rulebase.loader import unescape
+
+    raw = params.get("extradata_raw")
+    if raw is None:
+        return "descent: rulebase not provided"
+    idx = raw.find(":")
+    rb_file = unescape(raw if idx < 0 else raw[:idx])
+    params["_remaining"] = "tail" if idx < 0 else raw[idx + 1 :]
+    if not rb_file:
+        return "descent: rulebase not provided"
+    base_dir = getattr(rulebase, "_state", {}).get("base_dir")
+    path = rb_file if os.path.isabs(rb_file) else os.path.join(base_dir or ".", rb_file)
+    try:
+        child = type(rulebase).from_file(path, opts=rulebase.opts)
+    except OSError as e:
+        return f"descent: couldn't load rulebase '{rb_file}': {e}"
+    params["_sub_rb"] = child
+    return None
+
+
+def _ordered_rules(rb):
+    """Priority-ordered rule list for a sub-normalize, cached per rule
+    count (the recursive ctx is live — later-added rules must appear)."""
+    cache = getattr(rb, "_ordered_rules_cache", None)
+    if cache is not None and cache[0] == len(rb.rules):
+        return cache[1]
+    from liblognorm_spark.compiler.compiler import order_rules
+
+    ordered = [rb.rules[i] for i in order_rules(rb.rules)]
+    rb._ordered_rules_cache = (len(rb.rules), ordered)
+    return ordered
+
+
+def parse_recursive(text, offs, params):
+    """v1 recursive/descent parse (src/v1_parser.c:892-918
+    PARSER(Recursive)): ln_normalize the remaining text with the
+    sub-context.  A sub-result carrying unparsed-data -> SUCCESS consuming
+    0 chars with no value.  Otherwise, if the remaining-field is present,
+    its string length is subtracted from the consumed span and the field
+    deleted from the value (non-string tails count 0 chars, mirroring
+    json_object_get_string_len's 0-for-non-string)."""
+    from liblognorm_spark.runtime.walker import normalize_message
+
+    rb = params["_sub_rb"]
+    rem = text[offs:]
+    rule, event, _pto = normalize_message(
+        _ordered_rules(rb), rem, rb.types, rb.annotations,
+        v1_engine=getattr(rb, "version", 1) == 1,
+    )
+    if rule is None:
+        return (0, NO_VALUE)
+    remaining = params["_remaining"]
+    if remaining and remaining in event:
+        tail = event.pop(remaining)
+        tail_len = len(tail) if isinstance(tail, str) else 0
+        return (len(rem) - tail_len, event)
+    return (len(rem), event)
+
+
 PARSERS = {
     "literal": parse_literal,
     "never": parse_never,
+    "recursive": parse_recursive,
+    "descent": parse_recursive,
     "regex": parse_regex,
     "tokenized": parse_tokenized,
     "interpret": parse_interpret,

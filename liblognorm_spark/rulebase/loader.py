@@ -198,6 +198,9 @@ class Rulebase:
     # context options, the ln_setCtxOpts analogue (liblognorm.h:136-150);
     # currently meaningful here: "allowRegex" gates the v1-compat regex motif
     opts: set = field(default_factory=set)
+    # engine version: 2 iff the first line is 'version=2' (samp.c routes to
+    # v2_samp/pdag, else v1_samp/ptree); gates v1-engine match quirks
+    version: int = 1
 
     # ---------------- construction ----------------
 
@@ -225,11 +228,19 @@ class Rulebase:
             self._state = state
         rr = read_logical_lines(text)
         self.errors.extend(rr.errors)
-        for i, (line, lineno) in enumerate(rr.lines):
-            if i == 0 and line.strip() == "version=2":
-                state["version"] = 2
-                continue
-            self._process_line(line, lineno, base_dir=base_dir, name=name, include_level=include_level)
+        # current include dir, for parsers that load files at config time
+        # (descent); saved/restored across nested includes
+        prev_base = state.get("base_dir")
+        state["base_dir"] = base_dir
+        try:
+            for i, (line, lineno) in enumerate(rr.lines):
+                if i == 0 and line.strip() == "version=2":
+                    state["version"] = 2
+                    self.version = 2
+                    continue
+                self._process_line(line, lineno, base_dir=base_dir, name=name, include_level=include_level)
+        finally:
+            state["base_dir"] = prev_base
 
     def _process_line(self, line: str, lineno: int, *, base_dir, name, include_level) -> None:
         eq = line.find("=")
@@ -390,6 +401,20 @@ class Rulebase:
                 err = configure_suffixed(item.params, self, item.ptype == "named_suffixed")
                 if err:
                     raise RulebaseError(err)
+            elif item.ptype in ("recursive", "descent"):
+                from liblognorm_spark.compiler.motifs import (
+                    configure_descent,
+                    configure_recursive,
+                )
+
+                cfg = configure_recursive if item.ptype == "recursive" else configure_descent
+                err = cfg(item.params, self)
+                if err:
+                    raise RulebaseError(err)
+            elif item.ptype == "cef" and self._state.get("version", 1) == 1:
+                # v1-engine CEF quirk: trailing-space-only extensions fail
+                # (see parse_cef; v1_parser.c:2920 vs parser.c:3002)
+                item.params["_v1_engine"] = True
             elif item.ptype == "repeat":
                 self._configure_seq(item.params.get("parser_seq") or [])
                 self._configure_seq(item.params.get("while_seq") or [])

@@ -353,7 +353,8 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
         t = tvals[pos]
         cand_rules, lit_credit = index(t)
         rule, ev, pto = normalize_message(
-            cand_rules, t, crb.types, crb.annotations, initial_parsed_to=lit_credit
+            cand_rules, t, crb.types, crb.annotations, initial_parsed_to=lit_credit,
+            v1_engine=crb.version == 1,
         )
         parsed_to[pos] = pto
         if rule is None:

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from liblognorm_spark.compiler.motifs import PARSERS, coerce_value
+from liblognorm_spark.compiler.motifs import NO_VALUE, PARSERS, coerce_value
 from liblognorm_spark.rulebase.loader import Alt, PNode, Rule
 
 
@@ -37,7 +37,7 @@ def attach(json: dict, name, value) -> None:
     * name '.'  -> splice dict value's entries into parent
     * child dict with single key '..' -> collapse to scalar under name
     """
-    if name is None:
+    if name is None or value is NO_VALUE:
         return
     if name == "." and isinstance(value, dict):
         for k, v in value.items():
@@ -296,14 +296,23 @@ def _lit_prefix(rule) -> str:
 
 
 def normalize_message(rules, text: str, types: dict, annotations=None,
-                      initial_parsed_to: int = 0):
+                      initial_parsed_to: int = 0, v1_engine: bool = False):
     """Full reference semantics for one message: first matching rule wins
     (rules must already be in priority order); on failure emit
     originalmsg/unparsed-data (src/pdag.c:1653-1683, 1299-1316).
 
     Rules whose leading literal cannot prefix the text are skipped, but the
     skip credits parsedTo for the common prefix first (the reference's
-    per-char literal nodes would) so diagnostics stay identical."""
+    per-char literal nodes would) so diagnostics stay identical.
+
+    ``v1_engine``: the v1 ptree walk returns chars-LEFT and only merges a
+    failed branch's progress when left > 0 (v1_ptree.c:774 ``if(left > 0 &&
+    left < r)``) — a branch that consumed clear to EOS without reaching a
+    terminal contributes NOTHING to unparsed-data diagnostics, where the
+    v2 pdag credits parsedTo unconditionally (pdag.c:1600-1603).  Mirrored
+    per-rule: a failed rule whose progress hit EOS restores the prior
+    parsedTo (exercised by field_descent_with_invalid_ruledef.sh's
+    'named tail-field not populated')."""
     state = WalkState(text=text, strlen=len(text), types=types,
                       parsed_to=initial_parsed_to)
     for rule in rules:
@@ -317,6 +326,7 @@ def normalize_message(rules, text: str, types: dict, annotations=None,
                 state.parsed_to = q
             continue
         fields: dict = {}
+        pto_before = state.parsed_to
         if walk_seq(state, rule.seq, 0, 0, False, fields, None):
             event = dict(fields)
             if rule.tags:
@@ -327,4 +337,6 @@ def normalize_message(rules, text: str, types: dict, annotations=None,
                         for k, v in (annotations.get(tag) or {}).items():
                             event[k] = v
             return rule, event, state.parsed_to
+        if v1_engine and state.parsed_to == state.strlen:
+            state.parsed_to = pto_before
     return None, {"originalmsg": text, "unparsed-data": text[state.parsed_to :]}, state.parsed_to
