@@ -533,6 +533,17 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs).filter(F.col("est_jaccard_millis") >= 500)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup GROUPS: connected components (alternating large/small-star,
+    one shuffle per round) over the MinHash-LSH candidate pairs; the dedup
+    decision is keep-min-id-per-component.  The DuckDB twin walks the same
+    pair graph with a recursive CTE."""
+    from liblognorm_spark.functions.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(docs)
+
+
 def q_simhash(spark, sf_dir):
     from liblognorm_spark.functions.dedup import simhash
 
@@ -635,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         # rows-only
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
@@ -712,6 +724,37 @@ def _minhash_pairs_oracle() -> str:
           JOIN sigarr sa ON sa.doc_id = c.id_a
           JOIN sigarr sb ON sb.doc_id = c.id_b)
         WHERE est_jaccard_millis >= 500"""
+
+
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure over the (tiny at oracle scale) candidate-pair
+    graph via a recursive CTE; component = min reachable id."""
+    eq_count = (
+        "list_sum(list_transform(range(1, 17), "
+        "i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(trunc({eq_count} * 1000.0 / {_MH_N}) AS BIGINT) AS est
+            FROM cand c
+            JOIN sigarr sa ON sa.doc_id = c.id_a
+            JOIN sigarr sb ON sb.doc_id = c.id_b)
+          WHERE est >= 500),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.node, e.v FROM reach w JOIN edges e ON e.u = w.r)
+        SELECT d.doc_id,
+               coalesce(least(m.mn, d.doc_id), d.doc_id) AS cluster,
+               (coalesce(least(m.mn, d.doc_id), d.doc_id) = d.doc_id) AS is_kept
+        FROM documents d
+        LEFT JOIN (SELECT node, min(r) AS mn FROM reach GROUP BY node) m
+          ON m.node = d.doc_id"""
 
 
 def _ngram_jaccard_oracle() -> str:
@@ -842,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_pairs": _minhash_pairs_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "simhash": _simhash_oracle(),
         "embedding_near_dups": _embedding_near_dups_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),

@@ -383,3 +383,101 @@ def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_i
     return pairs.select(
         "id_a", "id_b", (cos * 1000).cast("long").alias("cos_millis")
     ).where(F.col("cos_millis") >= min_cos_millis)
+
+
+# ------------------------------------------------------------ dedup clusters
+
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 50):
+    """Connected components over an undirected pair graph: returns
+    (node, component) where component = min node id in the component.
+
+    This is the step after candidate-pair generation in a dedup pipeline:
+    near-dup PAIRS become near-dup GROUPS (keep min id per group, drop the
+    rest).  Implemented as alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — each round is one shuffle-join + aggregation, converges in
+    O(log^2 n) rounds on pathological chains and 2-3 rounds on typical
+    near-dup clusters, with no driver-side graph state:
+
+    * large-star: every node links its LARGER neighbors to its current
+      minimum (strictly decreases big labels, parallel over hubs);
+    * small-star: every node links its smaller-or-equal neighbors to the
+      minimum (compresses chains).
+
+    Each iteration materializes one edge list of size O(E); convergence is
+    checked with a count of changed edges (an O(1)-row aggregate, no
+    collect of data rows).  At 100 TB the edge list after LSH bucketing is
+    orders of magnitude smaller than the corpus, so the iteration cost is
+    bounded by the dedup join itself."""
+    from pyspark.sql import DataFrame
+
+    sess = pairs.sparkSession
+    # undirected edges as (u, v); self-loops dropped, duplicates merged
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods include both directions; m = min(neighborhood + self)
+        nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        m = nbrs.groupBy("x").agg(F.min("y").alias("m"))
+        m = m.select("x", F.least("m", F.col("x")).alias("m"))
+        j = nbrs.join(m, "x")
+        if large:  # link strictly larger neighbors to the minimum
+            links = j.where(F.col("y") > F.col("x")).select(
+                F.least("y", "m").alias("u"), F.greatest("y", "m").alias("v")
+            )
+        else:
+            # link smaller neighbors to the minimum AND keep the node's own
+            # link to it — without (x, m) a 2-node component's only edge
+            # collapses to a self-loop and the component vanishes
+            links = j.where(F.col("y") <= F.col("x")).select(
+                F.least("y", "m").alias("u"), F.greatest("y", "m").alias("v")
+            ).union(m.select(F.col("m").alias("u"), F.col("x").alias("v")))
+        return links.where(F.col("u") != F.col("v")).distinct()
+
+    # localCheckpoint truncates the logical plan each round — without it the
+    # star(star(...)) lineage doubles per iteration and Catalyst analysis
+    # cost explodes long before the data does
+    prev = edges.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nxt = star(star(prev, large=True), large=False).localCheckpoint(eager=True)
+        if nxt.exceptAll(prev).limit(1).count() == 0:
+            prev = nxt
+            break
+        prev = nxt
+    # after convergence every edge is (min-of-component, member)
+    comp = prev.select(F.col("v").alias("node"), F.col("u").alias("component")).union(
+        prev.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    ).groupBy("node").agg(F.min("component").alias("component"))
+    return comp
+
+
+def dedup_clusters(df, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = N_MINHASH, bands: int = N_BANDS,
+                   min_est_jaccard_millis: int = 500):
+    """Near-dup GROUPS from MinHash-LSH pairs: connected components over
+    candidate pairs with est_jaccard >= threshold.  Returns
+    (doc_id, cluster, is_kept): cluster = min doc_id in the group,
+    is_kept = this row is the group representative — i.e. the dedup
+    decision a training-data pipeline applies."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n, bands).where(
+        F.col("est_jaccard_millis") >= min_est_jaccard_millis
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("is_kept", (F.col("doc_id") == F.col("cluster")).cast("boolean"))
+    )

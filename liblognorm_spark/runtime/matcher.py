@@ -420,16 +420,28 @@ def normalize_df(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):
     # literal maps — they never cross the Arrow boundary, cutting the
     # JVM-side batch decode that co-bottlenecks with Python at high core
     # counts.
+    # originalmsg is also rebuilt JVM-side: it is by definition the input
+    # text of unmatched rows (match_batch sets it iff unparsed), and the
+    # JVM still holds the text column — shipping it back through Arrow
+    # would double-transfer every unparsed row's text.
     struct_ddl = (
         "struct<rule_id:int, fields_json:string, "
-        "unparsed_data:string, originalmsg:string, parsed_to:int>"
+        "unparsed_data:string, parsed_to:int>"
     )
 
     @F.pandas_udf(struct_ddl)
     def _match(s: pd.Series) -> pd.DataFrame:
-        return match_batch(crb, s).drop(columns=["tags", "rb_file", "rb_line"])
+        return match_batch(crb, s).drop(columns=["tags", "rb_file", "rb_line", "originalmsg"])
 
-    out = df.withColumn("_m", _match(F.col(text_col))).select("*", "_m.*").drop("_m")
+    out = (
+        df.withColumn("_m", _match(F.col(text_col)))
+        .select("*", "_m.*")
+        .drop("_m")
+        .withColumn(
+            "originalmsg",
+            F.when(F.col("unparsed_data").isNotNull(), F.col(text_col)),
+        )
+    )
     if crb.rules:
         ids = F.array(*[F.lit(cr.rule_id) for cr in crb.rules])
         tags_map = F.map_from_arrays(

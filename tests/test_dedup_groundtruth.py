@@ -207,3 +207,58 @@ def test_lsh_bucket_cap_defuses_skew(spark):
     uncapped = minhash_lsh_pairs(docs, max_bucket_size=None)
     assert uncapped.count() == 1000 * 999 // 2  # what the cap prevents
     assert unpersist_dedup_caches() >= 2
+
+
+def test_connected_components_vs_union_find(spark):
+    """Alternating large/small-star components == a driver-side union-find
+    on a random 200-node graph (plus a 30-chain, the slow-convergence worst
+    case for naive propagation)."""
+    import random
+
+    from liblognorm_spark.functions.dedup import connected_components
+
+    random.seed(7)
+    edges = [(random.randrange(200), random.randrange(200)) for _ in range(150)]
+    pr = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pr).collect()}
+
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+    comps: dict = {}
+    for n in set(x for e in edges for x in e if e[0] != e[1]):
+        comps.setdefault(find(n), []).append(n)
+    expect = {n: min(ns) for ns in comps.values() for n in ns}
+    assert got == expect
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    rows = sorted(tuple(r) for r in connected_components(chain).collect())
+    assert len(rows) == 31 and all(c == 0 for _, c in rows)
+
+
+def test_dedup_clusters_shape(spark):
+    """Every doc appears once; exactly one kept representative per cluster,
+    and it is the cluster min."""
+    from liblognorm_spark.functions.dedup import dedup_clusters, unpersist_dedup_caches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dc = dedup_clusters(docs).collect()
+    assert len(dc) == docs.count()
+    by_cluster: dict = {}
+    for r in dc:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        keeps = [m for m in members if m["is_kept"]]
+        assert len(keeps) == 1 and keeps[0]["doc_id"] == cl == min(m["doc_id"] for m in members)
+    assert any(len(m) > 1 for m in by_cluster.values())  # non-trivial on the fixture
+    unpersist_dedup_caches()
