@@ -585,6 +585,28 @@ def q_media_decode(spark, sf_dir):
     return decode_media(pages, binary_col="html", id_cols=("url",))
 
 
+def q_media_decode_real(spark, sf_dir):
+    """REAL codec roundtrip: deterministic PNGs (params derived from
+    doc_id) are encoded in Spark, decoded by the pure-stdlib PNG codec
+    (zlib inflate + scanline unfilter), and the oracle recomputes every
+    field — width, height, exact pixel sum — from doc_id alone in SQL.
+    A decode bug in any layer (chunk walk, inflate, unfilter, stats)
+    breaks the hash match."""
+    from liblognorm_spark.functions.multimodal import decode_media, synth_png_col
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    meta = decode_media(synth_png_col(docs), binary_col="png",
+                        id_cols=("doc_id",), real=True)
+    return meta.select(
+        "doc_id", "format", "width", "height", "bit_depth", "channels",
+        "n_frames", "px_sum", "n_px",
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     from liblognorm_spark.functions.multimodal import frame_sample
 
@@ -652,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_decode": q_media_decode,
+        "media_decode_real": q_media_decode_real,
         "frame_sample": q_frame_sample,
     }
 
@@ -890,6 +913,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "media_decode": _media_decode_oracle(),
+        # real-codec roundtrip: the oracle recomputes every decoded field
+        # (incl. the exact pixel sum) from doc_id, independent of the codec
+        "media_decode_real": """
+        SELECT doc_id,
+               'png' AS format,
+               CAST(1 + doc_id % 16 AS INTEGER) AS width,
+               CAST(1 + doc_id % 9 AS INTEGER) AS height,
+               CAST(8 AS INTEGER) AS bit_depth,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(list_sum(list_transform(
+                     range((1 + doc_id % 16) * (1 + doc_id % 9)),
+                     i -> (doc_id + i) % 256)) AS BIGINT) AS px_sum,
+               CAST((1 + doc_id % 16) * (1 + doc_id % 9) AS INTEGER) AS n_px
+        FROM documents WHERE doc_id < 200""",
         "frame_sample": _frame_sample_oracle(),
         "pipeline_sink_counts": f"""{PAGES_CTE}
             SELECT {P.SINK_BY_KIND} AS sink, count(*) AS n FROM pages GROUP BY 1""",

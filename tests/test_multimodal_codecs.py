@@ -1,0 +1,117 @@
+"""Pure-stdlib media codecs: real PNG/GIF/JPEG/WAV parsing with no
+external libraries, plus the Spark-side real-decode path."""
+
+import io
+import struct
+import wave
+import zlib
+
+from liblognorm_spark.functions import codecs as C
+
+
+def test_png_roundtrip_gray():
+    px = bytes((3 * i + 7) % 256 for i in range(16 * 9))
+    b = C.png_encode(px, 16, 9)
+    m = C.png_meta(b)
+    assert (m["format"], m["width"], m["height"], m["bit_depth"], m["channels"]) == (
+        "png", 16, 9, 8, 1,
+    )
+    assert m["px_sum"] == sum(px) and m["n_px"] == 144
+
+
+def test_png_all_filter_types_rgb():
+    """Hand-filter one scanline per PNG filter type (0-4) in RGB and check
+    the decoder unfilters back to the original pixels exactly."""
+    w, h, bpp = 5, 5, 3
+    pix = bytes((i * 17 + j * 3) % 256 for i in range(h) for j in range(w * bpp))
+    lines = [pix[y * w * bpp : (y + 1) * w * bpp] for y in range(h)]
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for ft, line in zip([0, 1, 2, 3, 4], lines):
+        raw.append(ft)
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b_ = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = line[i]
+            elif ft == 1:
+                f = (line[i] - a) & 0xFF
+            elif ft == 2:
+                f = (line[i] - b_) & 0xFF
+            elif ft == 3:
+                f = (line[i] - ((a + b_) >> 1)) & 0xFF
+            else:
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                f = (line[i] - pred) & 0xFF
+            raw.append(f)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        C._PNG_SIG
+        + C._crc_chunk(b"IHDR", ihdr)
+        + C._crc_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + C._crc_chunk(b"IEND", b"")
+    )
+    m = C.png_meta(png)
+    assert m["channels"] == 3 and m["px_sum"] == sum(pix) and m["n_px"] == len(pix)
+
+
+def test_gif_frame_count():
+    frame = b"\x2c" + struct.pack("<HHHH", 0, 0, 13, 7) + bytes([0x00, 2, 1, 0x00, 0])
+    gif = b"GIF89a" + struct.pack("<HH", 13, 7) + bytes([0x00, 0, 0]) + frame * 2 + b"\x3b"
+    g = C.gif_meta(gif)
+    assert (g["width"], g["height"], g["n_frames"]) == (13, 7, 2)
+
+
+def test_jpeg_sof_scan():
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 33, 44) + bytes([3]) + b"\x00" * 3
+    )
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof + b"\xff\xd9"
+    j = C.jpeg_meta(jpg)
+    assert (j["width"], j["height"], j["channels"], j["bit_depth"]) == (44, 33, 3, 8)
+
+
+def test_wav_meta():
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(16000)
+        wv.writeframes(b"\x01\x02" * 2 * 100)
+    m = C.wav_meta(buf.getvalue())
+    assert (m["channels"], m["sample_rate"], m["n_frames"], m["bit_depth"]) == (2, 16000, 100, 16)
+
+
+def test_sniff_unknown():
+    assert C.sniff_decode(b"not media at all") is None
+    assert C.sniff_decode(b"") is None
+
+
+def test_spark_real_decode_roundtrip(spark):
+    """decode_media(real=True) over synthesized PNG + WAV + junk in one
+    binary column: per-format metadata is exact, junk degrades to
+    'unknown' rows (no silent drop)."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.multimodal import decode_media
+
+    px = bytes(range(100))
+    png = C.png_encode(px, 10, 10)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(b"\x00\x01" * 50)
+    rows = [("png", bytearray(png)), ("wav", bytearray(buf.getvalue())), ("junk", bytearray(b"hello"))]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    out = {r["name"]: r for r in decode_media(df, binary_col="payload", id_cols=("name",), real=True).collect()}
+    assert out["png"]["format"] == "png" and out["png"]["px_sum"] == sum(px)
+    assert out["wav"]["format"] == "wav" and out["wav"]["sample_rate"] == 8000
+    assert out["junk"]["format"] == "unknown" and out["junk"]["media_bytes"] == 5
+    _ = F
