@@ -484,6 +484,33 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    from liblognorm_spark.functions.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(docs)
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction over text with deterministically injected PII (the
+    synthetic corpus has none, so email/IP/SSN snippets derived from
+    doc_id are appended in BOTH the Spark query and the SQL oracle —
+    non-trivial hit counts, not a dead-green zero check)."""
+    from liblognorm_spark.functions.text import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected)
+
+
 def q_langid(spark, sf_dir):
     from liblognorm_spark.functions import text as T
 
@@ -663,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": q_events_props_json,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "quality_filter": q_quality_filter,
+        "scrub_pii": q_scrub_pii,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine": q_knn_cosine,
@@ -1109,6 +1138,52 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(floor(length(replace(text, ' ', '')) * 1000.0 / (CASE WHEN length(trim(text)) = 0 THEN 1 ELSE len(string_split(trim(text), ' ')) END)) AS BIGINT) END) BETWEEN 2000 AND 12000 THEN 300 ELSE 0 END)
               AS BIGINT) AS quality_millis
             FROM documents""",
+        # Gopher/C4-style quality rules; every expression mirrored
+        "quality_filter": """
+            WITH m AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS n_tok,
+                CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END) = 0 THEN 0
+                     ELSE CAST(floor(length(replace(text, ' ', '')) * 1000.0 /
+                          (CASE WHEN length(trim(text)) = 0 THEN 1 ELSE len(string_split(trim(text), ' ')) END)) AS BIGINT) END AS mean_len,
+                length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS n_sym,
+                right(rtrim(text), 1) IN ('.', '!', '?', '"') AS ends_term
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tok, mean_len,
+                CASE WHEN n_tok = 0 THEN 0 ELSE CAST(trunc(n_sym * 1000.0 / n_tok) AS BIGINT) END AS sym_ratio,
+                ends_term,
+                CASE WHEN n_tok < 50 THEN 'too_few_tokens'
+                     WHEN n_tok > 100000 THEN 'too_many_tokens'
+                     WHEN mean_len < 3000 THEN 'mean_token_too_short'
+                     WHEN mean_len > 10000 THEN 'mean_token_too_long'
+                     WHEN (CASE WHEN n_tok = 0 THEN 0 ELSE CAST(trunc(n_sym * 1000.0 / n_tok) AS BIGINT) END) > 100 THEN 'symbol_heavy'
+                     WHEN NOT ends_term THEN 'no_terminal_punct'
+                END AS drop_reason
+              FROM m)
+            SELECT doc_id, n_tok AS n_tokens, mean_len AS mean_token_len_millis,
+                   sym_ratio AS symbol_ratio_millis, ends_term AS ends_terminal,
+                   (drop_reason IS NULL) AS keep, drop_reason
+            FROM r""",
+        # sequential redaction: each pattern scans the PREVIOUS pattern's
+        # output, exactly like the chained regexp_replace in scrub_pii
+        "scrub_pii": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.77 ssn 123-45-6789' AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM s0),
+            s2 AS (SELECT *, regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT *, regexp_replace(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t3 FROM s2),
+            s4 AS (SELECT *, regexp_replace(t3, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}', '<PHONE>', 'g') AS t4 FROM s3)
+            SELECT doc_id, t4 AS scrubbed,
+                   len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+                   len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+                   len(regexp_extract_all(t3, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}')) AS n_phone
+            FROM s4""",
         "langid": """
             WITH s AS (
               SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents

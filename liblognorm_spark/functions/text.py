@@ -105,3 +105,86 @@ def with_text_stats(df, col: str = "text"):
         .withColumn("lang_pred", lang_id(col))
         .withColumn("fp", fingerprint(col))
     )
+
+
+# ---------------------------------------------------------------- filtering
+
+# Gopher-style document-quality rules (Rae et al. 2021, table A1) with
+# C4-style terminal-punctuation checks (Raffel et al. 2020 §2.2), expressed
+# entirely in codegen-able built-ins.  Thresholds are the published ones
+# where the synthetic corpus makes them meaningful.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_TOKEN_LEN_MILLIS = 3_000   # 3 chars
+GOPHER_MAX_MEAN_TOKEN_LEN_MILLIS = 10_000  # 10 chars
+GOPHER_MAX_SYMBOL_RATIO_MILLIS = 100       # '#' or '…' per token
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def quality_filter(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/C4-style keep/drop decision with a reason column.
+
+    Returns (id, n_tokens, mean_token_len_millis, symbol_ratio_millis,
+    ends_terminal, keep, drop_reason).  First-match reason ordering is
+    fixed so the output is deterministic.  All expressions are JVM
+    built-ins — at 100 TB this is a single codegen stage over the scan."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    mean_len = mean_token_len_millis(c)
+    n_sym = F.length(c) - F.length(F.regexp_replace(c, r"[#…]", ""))
+    sym_ratio = F.when(n_tok == 0, F.lit(0)).otherwise(
+        (n_sym * 1000 / n_tok).cast("long")
+    )
+    ends_term = F.substring(F.rtrim(c), -1, 1).isin(*C4_TERMINAL_PUNCT)
+    reason = (
+        F.when(n_tok < GOPHER_MIN_TOKENS, F.lit("too_few_tokens"))
+        .when(n_tok > GOPHER_MAX_TOKENS, F.lit("too_many_tokens"))
+        .when(mean_len < GOPHER_MIN_MEAN_TOKEN_LEN_MILLIS, F.lit("mean_token_too_short"))
+        .when(mean_len > GOPHER_MAX_MEAN_TOKEN_LEN_MILLIS, F.lit("mean_token_too_long"))
+        .when(sym_ratio > GOPHER_MAX_SYMBOL_RATIO_MILLIS, F.lit("symbol_heavy"))
+        .when(~ends_term, F.lit("no_terminal_punct"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        mean_len.cast("long").alias("mean_token_len_millis"),
+        sym_ratio.alias("symbol_ratio_millis"),
+        ends_term.alias("ends_terminal"),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+# PII patterns shared verbatim between Spark (Java regex) and DuckDB (RE2):
+# only syntax both engines interpret identically — no lookaround, no \b
+# (RE2 supports \b but DuckDB and Java diverge on some classes; these stick
+# to explicit classes and anchored alternatives)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+]
+
+
+def scrub_pii(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Redact common PII patterns; emit per-kind hit counts.
+
+    Chained ``regexp_replace`` (one codegen stage, no Python); counts are
+    derived from length deltas so no second scan of the text is needed.
+    The pattern set is the usual training-data baseline (emails, IPs,
+    SSNs, phone numbers) — extend PII_PATTERNS for project policy."""
+    c = F.col(text_col)
+    scrubbed = c
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        before = scrubbed
+        marked = F.regexp_replace(before, pat, "\x00")
+        n = F.length(marked) - F.length(F.regexp_replace(marked, "\x00", ""))
+        counts.append(n.cast("long").alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(marked, "\x00", repl)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("scrubbed"),
+        *counts,
+    )
