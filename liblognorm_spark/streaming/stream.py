@@ -127,3 +127,23 @@ def start_fanout_query(parsed_stream, out_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def dedup_stream(stream_df, key_cols=("url",), ts_col: str = "warc_ts",
+                 watermark: str = "10 minutes", within_watermark: bool = True):
+    """Streaming exact-dedup: drop repeats of the key across micro-batches.
+
+    ``within_watermark=True`` uses dropDuplicatesWithinWatermark (Spark
+    3.5+): state for a key is EVICTED once the watermark passes its event
+    time, so state size is bounded by the churn inside the watermark delay
+    — the only formulation that survives an unbounded stream at web scale.
+    ``False`` falls back to global dropDuplicates (exact forever, state
+    grows without bound — only for bounded backfills)."""
+    wm = stream_df.withWatermark(ts_col, watermark)
+    cols = list(key_cols)
+    if within_watermark:
+        try:
+            return wm.dropDuplicatesWithinWatermark(cols)
+        except AttributeError:  # pre-3.5 Spark
+            pass
+    return wm.dropDuplicates(cols + [ts_col])

@@ -306,3 +306,27 @@ def test_salted_repartition_same_results(spark, pages):
     assert sorted((r["sink"], r["n"]) for r in plain) == sorted(
         (r["sink"], r["n"]) for r in salted
     )
+
+
+def test_streaming_dedup(spark, pages, tmp_path):
+    """Exact streaming dedup across micro-batches: the same 500 urls
+    written twice into the source dir collapse back to 500 (state keyed on
+    url within the watermark)."""
+    from liblognorm_spark.streaming.stream import dedup_stream, stream_pages
+
+    src = str(tmp_path / "dd_src")
+    pages.write.mode("overwrite").parquet(src)
+    pages.write.mode("append").parquet(src)  # exact duplicate batch
+    deduped = dedup_stream(stream_pages(spark, src), key_cols=("url",))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(DISTINCT url) c, count(*) n FROM t_dedup").collect()[0]
+    finally:
+        q.stop()
+    assert n["c"] == 500 and n["n"] == 500
