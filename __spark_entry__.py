@@ -484,6 +484,17 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    from liblognorm_spark.functions.text import bpe_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     from liblognorm_spark.functions.text import quality_filter
 
@@ -690,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": q_events_props_json,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "bpe_tokens": q_bpe_tokens,
         "quality_filter": q_quality_filter,
         "scrub_pii": q_scrub_pii,
         "langid": q_langid,
@@ -1137,6 +1149,11 @@ def oracle_sql() -> dict[str, str]:
                 + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END) = 0 THEN 0
                               ELSE CAST(floor(length(replace(text, ' ', '')) * 1000.0 / (CASE WHEN length(trim(text)) = 0 THEN 1 ELSE len(string_split(trim(text), ' ')) END)) AS BIGINT) END) BETWEEN 2000 AND 12000 THEN 300 ELSE 0 END)
               AS BIGINT) AS quality_millis
+            FROM documents""",
+        "bpe_tokens": """
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS ws_tokens,
+              len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS bpe_tokens
             FROM documents""",
         # Gopher/C4-style quality rules; every expression mirrored
         "quality_filter": """

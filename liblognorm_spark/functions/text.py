@@ -188,3 +188,19 @@ def scrub_pii(df, text_col: str = "text", id_col: str = "doc_id"):
         scrubbed.alias("scrubbed"),
         *counts,
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to syntax Java regex and RE2 agree
+# on (no lookahead — the original's \s+(?!\S) is RE2-inexpressible; its
+# effect only differs on trailing-whitespace runs, which the synthetic
+# corpus strips anyway)
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col):
+    """BPE-ish token count: the number of pre-tokenizer pieces the GPT-2
+    split regex yields — the standard quick proxy for LLM token cost when
+    the real vocab merge table is not in the pipeline (merges only split
+    pieces further by a bounded factor)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast("long")

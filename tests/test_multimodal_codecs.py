@@ -115,3 +115,19 @@ def test_spark_real_decode_roundtrip(spark):
     assert out["wav"]["format"] == "wav" and out["wav"]["sample_rate"] == 8000
     assert out["junk"]["format"] == "unknown" and out["junk"]["media_bytes"] == 5
     _ = F
+
+
+def test_bpe_token_count_splits(spark):
+    """The BPE pre-tokenizer counts pieces, not words: contractions,
+    digits and punctuation split off."""
+    from liblognorm_spark.functions.text import bpe_token_count, token_count
+
+    df = spark.createDataFrame(
+        [("it's 2024, isn't it?!",), ("plain words only",)], "text string"
+    )
+    rows = df.select(
+        token_count("text").alias("ws"), bpe_token_count("text").alias("bpe")
+    ).collect()
+    # "it"+"'s"+" 2024"+","+" isn"+"'t"+" it"+"?!" = 8 pieces vs 4 ws tokens
+    assert (rows[0]["ws"], rows[0]["bpe"]) == (4, 8)
+    assert (rows[1]["ws"], rows[1]["bpe"]) == (3, 3)
