@@ -1268,7 +1268,9 @@ def parse_interpret(text, offs, params):
     state = WalkState(text=text, strlen=len(text), types={})
     ok, consumed, value = try_parser(state, params["_subnode"], offs)
     if not ok:
-        return (0, "")
+        # v1 quirk: r=0 with *parsed=0 and *value untouched (NULL) — the
+        # engine consumes nothing and attaches NO field
+        return (0, NO_VALUE)
     s = value if isinstance(value, str) else str(value)
     it = params["_itype"]
     if it in ("int", "base10int"):
@@ -1330,12 +1332,13 @@ def parse_suffixed(text, offs, params):
     state = WalkState(text=text, strlen=len(text), types={})
     ok, consumed, value = try_parser(state, params["_subnode"], offs)
     if not ok:
-        return (0, "")
+        # v1 quirk: r=0, *parsed=0, *value NULL -> nothing attached
+        return (0, NO_VALUE)
     end = offs + consumed
     for suf in params["_sufs"]:
         if text.startswith(suf, end):
             return (consumed + len(suf), {params["_vname"]: value, params["_sname"]: suf})
-    return (0, "")
+    return (0, NO_VALUE)
 
 
 # ------------------------------------------------------------ v1 recursive / descent
