@@ -645,6 +645,36 @@ def q_media_decode_real(spark, sf_dir):
     )
 
 
+def q_frame_sample_real(spark, sf_dir):
+    """Frame sampling over REAL GIF containers: a doc_id-many-frame GIF is
+    synthesized per doc, the stdlib codec walks its block structure to
+    count frames, and the oracle regenerates the sampled indices from
+    doc_id alone."""
+    from liblognorm_spark.functions.multimodal import frame_sample
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+
+    import pandas as _pd
+
+    def add_gif(batches):
+        from liblognorm_spark.functions.codecs import gif_encode
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["gif"] = [
+                gif_encode(8, 8, 1 + int(d) % 13) for d in pdf["doc_id"]
+            ]
+            yield out
+
+    gifs = docs.mapInPandas(add_gif, schema="doc_id long, gif binary")
+    return frame_sample(gifs, binary_col="gif", every_n=4,
+                        id_cols=("doc_id",), real=True)
+
+
 def q_frame_sample(spark, sf_dir):
     from liblognorm_spark.functions.multimodal import frame_sample
 
@@ -717,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_decode_real": q_media_decode_real,
         "frame_sample": q_frame_sample,
+        "frame_sample_real": q_frame_sample_real,
     }
 
 
@@ -970,6 +1001,11 @@ def oracle_sql() -> dict[str, str]:
                CAST((1 + doc_id % 16) * (1 + doc_id % 9) AS INTEGER) AS n_px
         FROM documents WHERE doc_id < 200""",
         "frame_sample": _frame_sample_oracle(),
+        # real GIF frame sampling: sampled indices regenerated from doc_id
+        # (n_frames = 1 + doc_id % 13, every 4th frame)
+        "frame_sample_real": """
+            SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 13, 4)) AS INTEGER) AS frame_idx
+            FROM documents WHERE doc_id < 100""",
         "pipeline_sink_counts": f"""{PAGES_CTE}
             SELECT {P.SINK_BY_KIND} AS sink, count(*) AS n FROM pages GROUP BY 1""",
         "pipeline_sink_counts_strict": f"""{PAGES_CTE}

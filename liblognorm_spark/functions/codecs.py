@@ -249,3 +249,19 @@ def sniff_decode(b: bytes) -> dict | None:
         if meta is not None:
             return meta
     return None
+
+
+def gif_encode(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal structurally-valid GIF89a with ``n_frames`` frames (each a
+    1-sub-block LZW payload).  Exists so frame-sampling can be verified on
+    real container structure: gif_meta must walk the blocks to count
+    frames."""
+    if n_frames < 1:
+        raise ValueError("n_frames >= 1")
+    hdr = b"GIF89a" + struct.pack("<HH", width, height) + bytes([0x00, 0, 0])
+    # image descriptor + LZW-min-code-size + one 2-byte data sub-block + end
+    frame = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([2, 2, 0x4C, 0x01, 0x00])
+    )
+    return hdr + frame * n_frames + b"\x3b"

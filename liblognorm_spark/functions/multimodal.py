@@ -118,14 +118,17 @@ def decode_media(df, binary_col: str = "html", id_cols: tuple[str, ...] = ("url"
     return df.mapInPandas(fn, schema=schema)
 
 
-def frame_sample(df, binary_col: str = "html", every_n: int = 8, id_cols: tuple[str, ...] = ("url",)):
+def frame_sample(df, binary_col: str = "html", every_n: int = 8, id_cols: tuple[str, ...] = ("url",), real: bool = False):
     """Frame-sampling plumbing: one output row per sampled frame index.
-    Frame count comes from the (stub) decode; bytes are NOT duplicated —
-    only (id, frame_idx) rows flow out, the real extractor would attach
-    decoded frames here."""
+    With ``real=True`` the frame count comes from a REAL container walk
+    (GIF block structure via the stdlib codec); the stub decode otherwise.
+    Bytes are NOT duplicated — only (id, frame_idx) rows flow out, the
+    frame extractor would attach decoded frames here."""
     from pyspark.sql import functions as F
 
-    meta = decode_media(df, binary_col, id_cols)
+    meta = decode_media(df, binary_col, id_cols, real=real)
+    if real:
+        meta = meta.where(F.col("n_frames").isNotNull())
     return meta.select(
         *id_cols,
         F.explode(
