@@ -448,6 +448,26 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_events_topk_users(spark, sf_dir):
+    """Heavy hitters per event type: top-3 users by event count within
+    each type (dense event streams' standard hot-key report).  Rank via a
+    window over the aggregated counts — at scale the groupBy shrinks the
+    data before the window's per-type sort, so the expensive ordering
+    runs on |users|x|types| rows, not raw events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "n", "rnk")
+    )
+
+
 # ---- training-data operators ----
 
 
@@ -724,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_topk_customers": q_join_topk_customers,
         "events_window": q_events_window,
+        "events_topk_users": q_events_topk_users,
         "sessionize": q_sessionize,
         "host_counts": q_host_counts,
         "window_sink_counts": q_window_sink_counts,
@@ -1135,6 +1156,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey, c_name, revenue_f
             FROM rev JOIN customer ON o_custkey = c_custkey
             ORDER BY revenue_f DESC, custkey LIMIT 5""",
+        "events_topk_users": """
+            SELECT event_type, user_id, n, rnk FROM (
+              SELECT event_type, user_id, n,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY n DESC, user_id) AS INTEGER) AS rnk
+              FROM (SELECT event_type, user_id, count(*) AS n
+                    FROM events GROUP BY event_type, user_id))
+            WHERE rnk <= 3""",
         "events_window": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
                    count(*) AS n, CAST(floor(sum(value) * 100) AS BIGINT) AS sum_v_c
