@@ -117,3 +117,47 @@ def test_sink_partition_pruning(spark, tmp_path):
     assert q.count() == 63
     plan = plan_of(q)
     assert "PartitionFilters: [isnotnull(sink" in plan, plan
+
+
+def test_quality_filter_and_pii_pure_jvm(spark):
+    """Quality filtering and PII scrubbing must stay whole-stage-codegen —
+    one JVM pass over the scan, no Python eval nodes."""
+    from liblognorm_spark.functions.text import quality_filter, scrub_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q in (quality_filter(docs), scrub_pii(docs)):
+        plan = plan_of(q)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+        # '*(' prefixes whole-stage-codegen nodes in toString() plans
+        assert "*(" in plan, plan
+
+
+def test_connected_components_rounds_no_cartesian(spark):
+    """Each large/small-star round is join + aggregation — never a cross
+    join — and the per-round plan stays flat (localCheckpoint truncates
+    lineage, so round N's plan does not contain round N-1's)."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    plan = plan_of(comp)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # lineage truncation: the final mapping plan hangs off a checkpointed
+    # RDD scan, not a tower of per-round joins
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    _ = F
+
+
+def test_topk_users_aggregates_before_rank(spark):
+    """The rank window must consume the aggregated counts (small), not the
+    raw events: HashAggregate appears below the Window in the plan tree."""
+    import __spark_entry__ as E
+
+    df = E.queries()["events_topk_users"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan  # Window above agg in printout
