@@ -83,19 +83,23 @@ FRAGMENTS: dict[str, Optional[Callable[[dict], Optional[str]]]] = {
     # exact value-range fragments (mirror hParseInt leading-zero semantics):
     # day 1-31, hour 0-23 (1971-2099 in hour position = year, skipped),
     # minute 0-59, second 0-60, optional trailing ':' (parser.c:493-730)
+    # int fields parse via hParseInt (parser.c:63-78), which returns 0 on
+    # ZERO digits — so hour/minute/second (range checks admit 0) may be
+    # EMPTY ("Jan 10 00:00:" is a valid 3164 date with second=0, and
+    # "-1-1T::Z" a valid 5424 one: year is never range-checked at all)
     "date-rfc3164": lambda p: (
         r"(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
         r"  ?0*(?:3[01]|[12][0-9]|[1-9])(?![0-9])"
         r" (?:0*(?:19(?:7[1-9]|[89][0-9])|20[0-9][0-9])(?![0-9]) )?"
-        r"0*(?:2[0-3]|1[0-9]|[0-9])(?![0-9])"
-        r":0*(?:[1-5][0-9]|[0-9])(?![0-9])"
-        r":0*(?:60|[1-5][0-9]|[0-9])(?![0-9]):?+"
+        r"(?:0*(?:2[0-3]|1[0-9]|[0-9]))?+(?![0-9])"
+        r":(?:0*(?:[1-5][0-9]|[0-9]))?+(?![0-9])"
+        r":(?:0*(?:60|[1-5][0-9]|[0-9]))?+(?![0-9]):?+"
     ),
     "date-rfc5424": lambda p: (
-        r"[0-9]++-0*(?:1[0-2]|[1-9])(?![0-9])-0*(?:3[01]|[12][0-9]|[1-9])(?![0-9])"
-        r"T0*(?:2[0-3]|1[0-9]|[0-9])(?![0-9]):0*(?:[1-5][0-9]|[0-9])(?![0-9])"
-        r":0*(?:60|[1-5][0-9]|[0-9])(?![0-9])(?:\.[0-9]*+)?"
-        r"(?:Z|[+-]0*(?:2[0-3]|1[0-9]|[0-9])(?![0-9]):0*(?:[1-5][0-9]|[0-9])(?![0-9]))(?= |$)"
+        r"[0-9]*+-0*(?:1[0-2]|[1-9])(?![0-9])-0*(?:3[01]|[12][0-9]|[1-9])(?![0-9])"
+        r"T(?:0*(?:2[0-3]|1[0-9]|[0-9]))?+(?![0-9]):(?:0*(?:[1-5][0-9]|[0-9]))?+(?![0-9])"
+        r":(?:0*(?:60|[1-5][0-9]|[0-9]))?+(?![0-9])(?:\.[0-9]*+)?"
+        r"(?:Z|[+-](?:0*(?:2[0-3]|1[0-9]|[0-9]))?+(?![0-9]):(?:0*(?:[1-5][0-9]|[0-9]))?+(?![0-9]))(?= |$)"
     ),
     # exact: name chars, value = non-space run, exactly one SP between
     # fields, >=2 fields, consumes to EOS (parser.c:2212-2326)

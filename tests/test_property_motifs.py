@@ -1,0 +1,114 @@
+"""Per-motif property fuzz: for every motif with a regex fragment, the
+fast path must agree with the exact walker on NEAR-VALID inputs — valid
+samples with one random character corrupted, truncated, or extended are
+exactly where a superset/subset fragment bug would hide (range checks,
+EOS quirks, delimiter lookaheads)."""
+
+import json
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from liblognorm_spark.compiler.compiler import compile_rulebase
+from liblognorm_spark.rulebase.loader import Rulebase
+from liblognorm_spark.runtime.matcher import match_batch
+from liblognorm_spark.runtime.walker import normalize_message
+
+# (motif rule body, generator of valid-ish field text)
+d2 = st.integers(0, 99).map(lambda n: f"{n:02d}")
+MOTIFS = [
+    ("%f:number% %r:rest%", st.integers(0, 10**12).map(str)),
+    ("%f:number{\"maxval\": 500}% %r:rest%", st.integers(0, 1000).map(str)),
+    ("%f:float% %r:rest%", st.tuples(st.sampled_from(["", "-"]), st.integers(0, 999), st.sampled_from(["", ".", ".5", ".25"])).map(lambda t: f"{t[0]}{t[1]}{t[2]}")),
+    ("%f:hexnumber% %r:rest%", st.integers(0, 2**32).map(hex)),
+    ("%f:ipv4% %r:rest%", st.tuples(*[st.integers(0, 300)] * 4).map(lambda t: ".".join(map(str, t)))),
+    ("%f:ipv6% %r:rest%", st.sampled_from([
+        "::1", "fe80::1", "1:2:3:4:5:6:7:8", "::ffff:1.2.3.4", "1::2:3",
+        "::", "1:2::3:4", "12345::1", "g::1", "1:2:3:4:5:6:7:8:9", "fe80:::1",
+    ])),
+    ("%f:mac48% %r:rest%", st.tuples(st.sampled_from([":", "-"]), *[st.integers(0, 255)] * 6).map(
+        lambda t: t[0].join(f"{b:02x}" for b in t[1:]))),
+    ("%f:date-rfc3164% %r:rest%", st.one_of(
+        st.tuples(
+            st.sampled_from(["Jan", "Oct", "Dec", "Xxx", "jan"]), st.integers(0, 39), d2, d2, d2,
+        ).map(lambda t: f"{t[0]} {t[1]} {t[2]}:{t[3]}:{t[4]}"),
+        # hParseInt accepts ZERO digits (value 0) for hour/min/sec
+        st.sampled_from([
+            "Jan 10 00:00:", "Jan 10 ::", "Jan 10 :5:", "Jan 10 24::",
+            "Jan 10 0:0:0:", "Jan 10 0:0:61",
+        ]),
+    )),
+    ("%f:date-rfc5424% %r:rest%", st.one_of(
+        st.tuples(
+            st.integers(1999, 2030), st.integers(0, 13), st.integers(0, 32), d2, d2, d2,
+            st.sampled_from(["Z", "+01:00", "-23:30", "+24:00", ""]),
+        ).map(lambda t: f"{t[0]:04d}-{t[1]:02d}-{t[2]:02d}T{t[3]}:{t[4]}:{t[5]}{t[6]}"),
+        # empty year / empty H:M:S / empty offset fields are all valid
+        st.sampled_from([
+            "-1-1T::Z", "2024-1-2T1:0:0+:", "2024-01-02T::59-0:",
+            "-0-1T::Z", "2024-13-1T::Z", "--1T::Z",
+        ]),
+    )),
+    ("%f:date-iso% %r:rest%", st.tuples(st.integers(1999, 2030), st.integers(0, 13), st.integers(0, 32)).map(
+        lambda t: f"{t[0]:04d}-{t[1]:02d}-{t[2]:02d}")),
+    ("%f:time-24hr% %r:rest%", st.tuples(st.integers(0, 30), d2, d2).map(
+        lambda t: f"{t[0]:02d}:{t[1]}:{t[2]}")),
+    ("%f:time-12hr% %r:rest%", st.tuples(st.integers(0, 13), d2, d2, st.sampled_from(["AM", "PM", "am", "xm"])).map(
+        lambda t: f"{t[0]}:{t[1]}:{t[2]} {t[3]}")),
+    ("%f:duration% %r:rest%", st.tuples(st.integers(0, 200), st.integers(0, 70), st.integers(0, 70)).map(
+        lambda t: f"{t[0]}:{t[1]:02d}:{t[2]:02d}")),
+    ("%f:kernel-timestamp% %r:rest%", st.tuples(st.integers(1, 10**12), st.integers(0, 999999)).map(
+        lambda t: f"[{t[0]}.{t[1]:06d}]")),
+    ("%f:quoted-string% %r:rest%", st.text(alphabet="ab\\\" ", max_size=12).map(lambda s: f'"{s}"')),
+    ("%f:op-quoted-string% %r:rest%", st.text(alphabet="ab\" ", max_size=12)),
+    ("%f:char-to:;%;%r:rest%", st.text(alphabet="ab;", max_size=10)),
+    ("%f:char-sep:,% %r:rest%", st.text(alphabet="ab,", max_size=10)),
+    ("%f:string-to:END%END%r:rest%", st.text(alphabet="aEND", max_size=14)),
+    ("%f:v2-iptables% %r:rest%", st.lists(
+        st.sampled_from(["IN=", "OUT=eth0", "SRC=1.2.3.4", "DF", "LEN=12", "a=b"]),
+        min_size=1, max_size=4).map(" ".join)),
+    ("%f:name-value-list% %r:rest%", st.lists(
+        st.sampled_from(["a=1", "b=", "=c", "dd=ee", "f"]), min_size=1, max_size=4).map(" ".join)),
+    ("%f:cee-syslog% %r:rest%", st.sampled_from([
+        '@cee: {"a": 1}', '@cee:{"a":1}', '@cee: {', '@cee: []', 'x@cee: {}',
+    ])),
+]
+COMPILED = [
+    (body, compile_rulebase(Rulebase.from_string(f"version=2\nrule=t:{body}\nrule=u:%all:rest%\n")), gen)
+    for body, gen in MOTIFS
+]
+
+# corruption: identity, 1-char substitution, truncation, prefix/suffix junk
+def _corrupt(draw_tuple):
+    s, mode, pos, ch = draw_tuple
+    if not s or mode == 0:
+        return s
+    p = pos % len(s)
+    if mode == 1:
+        return s[:p] + ch + s[p + 1 :]
+    if mode == 2:
+        return s[:p]
+    return s + ch
+
+
+def case_strategy(gen):
+    return st.tuples(
+        gen, st.integers(0, 3), st.integers(0, 63), st.sampled_from("09az.:- ")
+    ).map(_corrupt)
+
+
+@settings(max_examples=150, deadline=None)
+@given(idx=st.integers(0, len(COMPILED) - 1), data=st.data())
+def test_motif_fast_path_equals_walker(idx, data):
+    body, crb, gen = COMPILED[idx]
+    field = data.draw(case_strategy(gen))
+    text = f"{field} tail"
+    fast = match_batch(crb, pd.Series([text], dtype=object))
+    rule, ev, _ = normalize_message(crb.ordered_rules, text, crb.types, crb.annotations)
+    fast_rule = int(fast["rule_id"][0])
+    walker_rule = rule.rule_id if rule is not None else -1
+    assert fast_rule == walker_rule, (
+        f"{body}: rule mismatch for {text!r}: fast={fast_rule} walker={walker_rule}"
+    )
+    fast_ev = json.loads(fast["fields_json"][0]) if fast["fields_json"][0] else {}
+    assert fast_ev == ev, f"{body}: event mismatch for {text!r}:\n fast={fast_ev}\n walk={ev}"
