@@ -72,6 +72,10 @@ MOTIFS = [
     ("%f:cee-syslog% %r:rest%", st.sampled_from([
         '@cee: {"a": 1}', '@cee:{"a":1}', '@cee: {', '@cee: []', 'x@cee: {}',
     ])),
+    ("%f:whitespace%x %r:rest%", st.text(alphabet=" \t\n\v\f\rx", max_size=8)),
+    ('%{"name":"f", "type":"repeat", "parser": {"type":"number"}, '
+     '"while": {"type":"literal", "text":","}}% %r:rest%',
+     st.lists(st.sampled_from(["1", "22", "333", "", "x"]), min_size=1, max_size=5).map(",".join)),
 ]
 COMPILED = [
     (body, compile_rulebase(Rulebase.from_string(f"version=2\nrule=t:{body}\nrule=u:%all:rest%\n")), gen)
