@@ -1404,6 +1404,13 @@ def _ordered_rules(rb):
     return ordered
 
 
+# active (parser-instance, remaining-length) frames: re-entering the SAME
+# recursive parser with the SAME remaining length can never progress (a
+# rule that STARTS with %f:recursive% normalizes its own full input) — the
+# reference C simply recurses until the stack blows; we fail the branch
+_ACTIVE_RECURSIONS: set = set()
+
+
 def parse_recursive(text, offs, params):
     """v1 recursive/descent parse (src/v1_parser.c:892-918
     PARSER(Recursive)): ln_normalize the remaining text with the
@@ -1411,15 +1418,29 @@ def parse_recursive(text, offs, params):
     0 chars with no value.  Otherwise, if the remaining-field is present,
     its string length is subtracted from the consumed span and the field
     deleted from the value (non-string tails count 0 chars, mirroring
-    json_object_get_string_len's 0-for-non-string)."""
+    json_object_get_string_len's 0-for-non-string).
+
+    Divergence from the reference (documented): zero-progress
+    self-recursion and Python-stack exhaustion degrade to the unparsed
+    branch instead of crashing the process the way the C's unbounded
+    recursion would."""
     from liblognorm_spark.runtime.walker import normalize_message
 
     rb = params["_sub_rb"]
     rem = text[offs:]
-    rule, event, _pto = normalize_message(
-        _ordered_rules(rb), rem, rb.types, rb.annotations,
-        v1_engine=getattr(rb, "version", 1) == 1,
-    )
+    key = (id(params), len(rem))
+    if key in _ACTIVE_RECURSIONS:
+        return (0, NO_VALUE)
+    _ACTIVE_RECURSIONS.add(key)
+    try:
+        rule, event, _pto = normalize_message(
+            _ordered_rules(rb), rem, rb.types, rb.annotations,
+            v1_engine=getattr(rb, "version", 1) == 1,
+        )
+    except RecursionError:
+        return (0, NO_VALUE)
+    finally:
+        _ACTIVE_RECURSIONS.discard(key)
     if rule is None:
         return (0, NO_VALUE)
     remaining = params["_remaining"]

@@ -116,3 +116,32 @@ def test_motif_fast_path_equals_walker(idx, data):
     )
     fast_ev = json.loads(fast["fields_json"][0]) if fast["fields_json"][0] else {}
     assert fast_ev == ev, f"{body}: event mismatch for {text!r}:\n fast={fast_ev}\n walk={ev}"
+
+
+rb_line = st.one_of(
+    st.text(alphabet="rule=:%abc123{}\"':,.x% \t\\nXYZ@-", max_size=60),
+    st.sampled_from([
+        "version=2", "rule=t:%f:word%", "rule=:%f:", "rule=:%f:number{%",
+        "prefix=%p:word% ", "extendprefix=x", "type=@t:%f:word%", "type=@t",
+        "annotate=t:+a=\"b\"", "annotate=:", "include=/nonexistent",
+        "rule=:%{\"name\":\"f\"}%", "rule=:%{bad json%", "rule=:%f:repeat{\"parser\":%",
+        "rule=:a%%b", "rule=:%-:rest%", "rule=:%.:json%", "rule=:%f:descent:%",
+        "rule=:%f:recursive:x:y%", "rule=:%f:tokenized%", "rule=:%f:suffixed:,:%",
+    ]),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(lines=st.lists(rb_line, min_size=1, max_size=6), data=st.data())
+def test_loader_never_crashes(lines, data):
+    """Arbitrary rulebase text must load without raising — bad rules turn
+    into error strings + dropped rules (the reference reports and skips,
+    v1_samp.c:236-242), and whatever loaded must normalize any input
+    without raising."""
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import normalize_strings
+
+    rb = Rulebase.from_string("\n".join(lines) + "\n", opts=frozenset({"allowRegex"}))
+    probe = data.draw(st.text(alphabet="abc 123.:%{}\"", max_size=30))
+    out = normalize_strings(rb, [probe])
+    assert isinstance(out[0], dict)
