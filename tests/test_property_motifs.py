@@ -145,3 +145,33 @@ def test_loader_never_crashes(lines, data):
     probe = data.draw(st.text(alphabet="abc 123.:%{}\"", max_size=30))
     out = normalize_strings(rb, [probe])
     assert isinstance(out[0], dict)
+
+
+json_scalar = st.one_of(st.text(max_size=8), st.integers(-10, 10**9), st.booleans(), st.none(), st.floats(allow_nan=False, allow_infinity=False))
+json_value = st.recursive(
+    json_scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3),
+        st.dictionaries(st.text(max_size=6), inner, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(event=st.dictionaries(st.text(max_size=8), json_value, max_size=5))
+def test_encoders_never_crash(event):
+    """Every encoder must serialize arbitrary event shapes (nested maps,
+    arrays, unicode, control chars) without raising — the CLI feeds them
+    whatever a rulebase extracted."""
+    from liblognorm_spark.encoders import (
+        encode_csv,
+        encode_json,
+        encode_rfc5424,
+        encode_xml,
+    )
+
+    assert isinstance(encode_json(event), str)
+    assert isinstance(encode_xml(event), str)
+    assert isinstance(encode_rfc5424(event), str)
+    assert isinstance(encode_csv(event, sorted(event)[:3]), str)
