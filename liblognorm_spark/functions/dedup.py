@@ -18,7 +18,6 @@ and identical in both engines (xxhash64 is not).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 # persisted intermediates registered here so long-running jobs can release
@@ -70,6 +69,25 @@ N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3  # word shingles
 DEFAULT_MAX_BUCKET = 200  # LSH band-bucket cap (k docs in a band -> k^2 pairs)
+
+
+def _cap_buckets(df, keys: list, max_bucket_size: int):
+    """Drop every row belonging to a bucket with more than
+    ``max_bucket_size`` members.
+
+    Shape matters at 100 TB: a window count would SORT the full exploded
+    row set inside each shuffle partition; this formulation hash-aggregates
+    with map-side partial combine (the hot keys collapse before the
+    shuffle) and anti-joins against the hot-bucket list — which is small by
+    construction (≤ n_rows / max_bucket_size keys), so AQE turns the
+    anti-join into a broadcast."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") > max_bucket_size)
+        .select(*keys)
+    )
+    return df.join(hot, keys, "left_anti")
 
 
 def _spread(df):
@@ -157,10 +175,7 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
         id_col, "minhash", F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bk")
     ).select(id_col, "minhash", "bk.band", "bk.band_key")
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_key")
-        exploded = exploded.withColumn("_bn", F.count("*").over(w)).where(
-            F.col("_bn") <= max_bucket_size
-        ).drop("_bn")
+        exploded = _cap_buckets(exploded, ["band", "band_key"], max_bucket_size)
     # persist: the self-join would otherwise recompute the signature
     # aggregation once per side (no ReusedExchange is planned for the two
     # sides); released via unpersist_dedup_caches()
@@ -272,10 +287,7 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
         id_col, "simhash", F.explode(F.array(*block_structs)).alias("b")
     ).select(id_col, "simhash", "b.blk", "b.blk_val")
     if max_bucket_size is not None:
-        w = Window.partitionBy("blk", "blk_val")
-        keyed = keyed.withColumn("_bn", F.count("*").over(w)).where(
-            F.col("_bn") <= max_bucket_size
-        ).drop("_bn")
+        keyed = _cap_buckets(keyed, ["blk", "blk_val"], max_bucket_size)
     keyed = _persist(keyed)
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
@@ -362,10 +374,7 @@ def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_i
         F.explode(F.array(*table_buckets)).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
     if max_bucket_size is not None:
-        w = Window.partitionBy("tbl", "bkt")
-        keyed = keyed.withColumn("_bn", F.count("*").over(w)).where(
-            F.col("_bn") <= max_bucket_size
-        ).drop("_bn")
+        keyed = _cap_buckets(keyed, ["tbl", "bkt"], max_bucket_size)
     keyed = _persist(keyed)  # self-join reuses the bucketing
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
