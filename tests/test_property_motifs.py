@@ -101,7 +101,7 @@ def case_strategy(gen):
     ).map(_corrupt)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(idx=st.integers(0, len(COMPILED) - 1), data=st.data())
 def test_motif_fast_path_equals_walker(idx, data):
     body, crb, gen = COMPILED[idx]
