@@ -468,6 +468,43 @@ def q_events_topk_users(spark, sf_dir):
     )
 
 
+def q_training_pipeline(spark, sf_dir):
+    """The composed training-data pipeline, end to end: Gopher quality
+    gate (all rules except terminal punctuation — the synthetic corpus
+    never ends in punctuation) -> PII scrub -> MinHash-LSH near-dup
+    clustering OF THE SCRUBBED TEXT -> per-doc decision + token cost.
+    One oracle covers the whole composition: DuckDB shadows the documents
+    view with the kept+scrubbed CTE and reruns the same clustering."""
+    from liblognorm_spark.functions.dedup import dedup_clusters
+    from liblognorm_spark.functions.text import bpe_token_count, quality_filter, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    qf = quality_filter(docs)
+    kept_ids = qf.where(
+        F.col("drop_reason").isNull() | (F.col("drop_reason") == "no_terminal_punct")
+    ).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    sc = scrub_pii(kept)
+    clustered = dedup_clusters(
+        sc.select("doc_id", F.col("scrubbed").alias("text"))
+    )
+    return clustered.join(sc, "doc_id").select(
+        "doc_id",
+        "cluster",
+        "is_kept",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_ssn") + F.col("n_phone")).alias("n_pii"),
+        bpe_token_count("scrubbed").alias("bpe_tokens"),
+    )
+
+
 # ---- training-data operators ----
 
 
@@ -761,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "training_pipeline": q_training_pipeline,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
@@ -871,6 +909,83 @@ def _dedup_clusters_oracle() -> str:
         FROM documents d
         LEFT JOIN (SELECT node, min(r) AS mn FROM reach GROUP BY node) m
           ON m.node = d.doc_id"""
+
+
+_PII_SQL = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+]
+_BPE_SQL = r"''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def _training_pipeline_oracle() -> str:
+    """One oracle for the whole composed pipeline: inject PII -> Gopher
+    gate (minus terminal punct) -> sequential scrub -> near-dup clustering
+    of the SCRUBBED text (the minhash CTEs re-bound onto the scrubbed-docs
+    CTE) -> per-doc decision + BPE token cost."""
+    ntok = "CASE WHEN length(trim(t0)) = 0 THEN 0 ELSE len(string_split(trim(t0), ' ')) END"
+    scrub_chain = []
+    prev = "t0"
+    for i, (pat, repl) in enumerate(_PII_SQL, start=1):
+        scrub_chain.append(
+            f"s{i} AS (SELECT *, regexp_replace(t{i-1}, '{pat}', '{repl}', 'g') AS t{i} FROM "
+            + ("kept" if i == 1 else f"s{i-1}") + ")"
+        )
+        prev = f"t{i}"
+    n_pii = " + ".join(
+        f"len(regexp_extract_all(t{i}, '{pat}'))" for i, (pat, _r) in enumerate(_PII_SQL)
+    )
+    mh = _minhash_ctes().replace("FROM documents", "FROM scrubbed_docs")
+    eq_count = (
+        "list_sum(list_transform(range(1, 17), "
+        "i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""WITH RECURSIVE raw AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.77 ssn 123-45-6789' AS t0
+          FROM documents),
+        q AS (SELECT doc_id, t0,
+               {ntok} AS n_tok,
+               CASE WHEN ({ntok}) = 0 THEN 0
+                    ELSE CAST(floor(length(replace(t0, ' ', '')) * 1000.0 /
+                         (CASE WHEN ({ntok}) = 0 THEN 1 ELSE ({ntok}) END)) AS BIGINT) END AS mean_len,
+               length(t0) - length(regexp_replace(t0, '[#…]', '', 'g')) AS n_sym
+              FROM raw),
+        kept AS (SELECT doc_id, t0 FROM q
+                 WHERE NOT (n_tok < 50 OR n_tok > 100000
+                            OR mean_len < 3000 OR mean_len > 10000
+                            OR (CASE WHEN n_tok = 0 THEN 0
+                                     ELSE CAST(trunc(n_sym * 1000.0 / n_tok) AS BIGINT) END) > 100)),
+        {", ".join(scrub_chain)},
+        scrub AS (SELECT doc_id, {prev} AS scrubbed, {n_pii} AS n_pii FROM s{len(_PII_SQL)}),
+        scrubbed_docs AS (SELECT doc_id, scrubbed AS text FROM scrub),
+        {mh},
+        prs AS (
+          SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(trunc({eq_count} * 1000.0 / {_MH_N}) AS BIGINT) AS est
+            FROM cand c
+            JOIN sigarr sa ON sa.doc_id = c.id_a
+            JOIN sigarr sb ON sb.doc_id = c.id_b)
+          WHERE est >= 500),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w2.node, e.v FROM reach w2 JOIN edges e ON e.u = w2.r),
+        comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node)
+        SELECT sc.doc_id,
+               coalesce(least(m.mn, sc.doc_id), sc.doc_id) AS cluster,
+               (coalesce(least(m.mn, sc.doc_id), sc.doc_id) = sc.doc_id) AS is_kept,
+               CAST(sc.n_pii AS BIGINT) AS n_pii,
+               len(regexp_extract_all(sc.scrubbed, '{_BPE_SQL}')) AS bpe_tokens
+        FROM scrub sc LEFT JOIN comp m ON m.node = sc.doc_id"""
 
 
 def _ngram_jaccard_oracle() -> str:
@@ -1002,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "training_pipeline": _training_pipeline_oracle(),
         "simhash": _simhash_oracle(),
         "embedding_near_dups": _embedding_near_dups_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
