@@ -239,6 +239,7 @@ def _hand_ported() -> dict:
     """Scripts whose only unmodelable construct is the shell loop that
     builds the input string — reproduced here."""
     msg = _very_long_msg()
+    mac = "f0:f6:1c:5f:cc:a2"
     return {
         "very_long_logline.sh": [
             {"rulebase": "rule=:%line:rest%\n",
@@ -247,6 +248,17 @@ def _hand_ported() -> dict:
         "very_long_logline_jsoncnf.sh": [
             {"rulebase": 'version=2\nrule=:%{"name":"line", "type":"rest"}%\n',
              "steps": [{"input": msg, "expected": {"line": msg}}]}
+        ],
+        # the script mv's inc.rulebase to a directory reachable only via
+        # the LIBLOGNORM_RULEBASES env var (samp.c include resolution);
+        # aux_env files land in a SEPARATE dir the runner exports there
+        "include_RULEBASES.sh": [
+            {"rulebase": "version=2\ninclude=inc.rulebase\n",
+             "aux_env": {"inc": "version=2\nrule=:%field:mac48%\n"},
+             "steps": [
+                 {"input": mac, "expected": {"field": mac}},
+                 {"input": mac, "expected": {"field": mac}},
+             ]}
         ],
     }
 
