@@ -849,7 +849,7 @@ def _minhash_ctes() -> str:
         "i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END"
     )
     return f"""
-        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents),
         sh AS (SELECT doc_id, unnest({shingle_list}) AS s FROM w),
         shl AS (SELECT doc_id, list_distinct({shingle_list}) AS shset FROM w),
         sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
@@ -917,7 +917,10 @@ _PII_SQL = [
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
 ]
-_BPE_SQL = r"''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_SQL = (
+    r"''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
+)
 
 
 def _training_pipeline_oracle() -> str:
@@ -1009,7 +1012,7 @@ def _simhash_oracle(bits: int = 32) -> str:
         f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
     )
     return f"""WITH wds AS (
-          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+          SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents),
         h AS (SELECT doc_id, ('0x' || substr(md5('999|' || w), 1, 15))::BIGINT AS wh FROM wds),
         v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM v"""
@@ -1334,7 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": """
             SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS ws_tokens,
-              len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS bpe_tokens
+              len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+')) AS bpe_tokens
             FROM documents""",
         # Gopher/C4-style quality rules; every expression mirrored
         "quality_filter": """
@@ -1405,7 +1408,7 @@ def oracle_sql() -> dict[str, str]:
               END AS lang_pred
             FROM sc""",
         "fingerprint": """
-            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            SELECT doc_id, md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
             FROM documents""",
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

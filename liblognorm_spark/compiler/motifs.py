@@ -1237,17 +1237,27 @@ def configure_interpret(params: dict, rulebase) -> str | None:
 
 
 def _strtol(s: str, base: int) -> int:
-    """C strtol: longest valid leading prefix, 0 if none."""
+    """C strtol: longest valid leading prefix, 0 if none; base 16 accepts
+    an optional 0x/0X prefix (only when hex digits follow — on bare "0x"
+    strtol's subject sequence is just the "0")."""
     i, n = 0, len(s)
     if i < n and s[i] in "+-":
         i += 1
     digits = "0123456789abcdef"[:base]
+    if (
+        base == 16
+        and i + 2 < n
+        and s[i] == "0"
+        and s[i + 1] in "xX"
+        and s[i + 2].lower() in digits
+    ):
+        i += 2
     j = i
     while j < n and s[j].lower() in digits:
         j += 1
     if j == i:
         return 0
-    return int(s[:j], base)
+    return int(s[i:j], base) * (-1 if s.startswith("-") else 1)
 
 
 _STRTOD_RE = re.compile(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")

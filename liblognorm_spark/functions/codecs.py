@@ -123,11 +123,16 @@ def png_meta(b: bytes) -> dict | None:
         "px_sum": None,
         "n_px": None,
     }
-    if bit_depth == 8 and color_type in (0, 2, 6) and idat:
+    # pixel stats only for images whose decode cost is bounded by the input:
+    # a crafted IHDR can claim multi-TB dimensions in a 100-byte file
+    MAX_PX = 64 * 1024 * 1024
+    if bit_depth == 8 and color_type in (0, 2, 6) and idat and width * height <= MAX_PX:
         bpp = _PNG_CHANNELS[color_type]
-        pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
-        meta["px_sum"] = int(sum(pixels))
-        meta["n_px"] = len(pixels)
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) == (width * bpp + 1) * height:
+            pixels = _png_unfilter(raw, width, height, bpp)
+            meta["px_sum"] = int(sum(pixels))
+            meta["n_px"] = len(pixels)
     return meta
 
 
@@ -197,7 +202,7 @@ def jpeg_meta(b: bytes) -> dict | None:
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            if pos + 9 > n:
+            if pos + 10 > n:  # reads through b[pos+9] (ncomp)
                 return None
             precision = b[pos + 4]
             height, width = struct.unpack(">HH", b[pos + 5 : pos + 9])
@@ -241,11 +246,17 @@ def wav_meta(b: bytes) -> dict | None:
 
 
 def sniff_decode(b: bytes) -> dict | None:
-    """Dispatch on magic bytes; None when no stdlib codec applies."""
+    """Dispatch on magic bytes; None when no stdlib codec applies OR the
+    payload is malformed past its magic (zlib errors, truncated chunks,
+    bad filter bytes) — a decode task must degrade, never die, on hostile
+    bytes."""
     if not b:
         return None
     for fn in (png_meta, gif_meta, jpeg_meta, wav_meta):
-        meta = fn(b)
+        try:
+            meta = fn(b)
+        except Exception:
+            return None
         if meta is not None:
             return meta
     return None

@@ -105,7 +105,7 @@ def _spread(df):
 def _word_shingles(col, k: int = SHINGLE_K):
     """k-word shingles as an array column, built with JVM-side higher-order
     functions (no Python)."""
-    words = F.split(F.trim(col), r"\s+")
+    words = F.split(F.trim(col), r"[ \t\n\x0B\f\r]+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
@@ -149,6 +149,23 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: in
     )
 
 
+def _banded(df, text_col: str, id_col: str, n: int, bands: int):
+    """(id, minhash, band, band_key) rows — ONE definition of the banding
+    so the pair join and the bucket diagnostics can never drift apart."""
+    rows = n // bands
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
+            "band_key"
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        id_col, "minhash",
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bk"),
+    ).select(id_col, "minhash", "bk.band", "bk.band_key")
+
+
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                       n: int = N_MINHASH, bands: int = N_BANDS,
                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
@@ -163,17 +180,7 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     bands, and it is the standard boilerplate-band defense.  Use
     lsh_bucket_stats() to see what a given corpus would drop — no silent
     caps.  Pass None to disable."""
-    rows = n // bands
-    sigs = minhash_signatures(df, text_col, id_col, n)
-    band_cols = [
-        F.md5(F.concat_ws(",", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
-            "band_key"
-        )
-        for b in range(bands)
-    ]
-    exploded = sigs.select(
-        id_col, "minhash", F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bk")
-    ).select(id_col, "minhash", "bk.band", "bk.band_key")
+    exploded = _banded(df, text_col, id_col, n, bands)
     if max_bucket_size is not None:
         exploded = _cap_buckets(exploded, ["band", "band_key"], max_bucket_size)
     # persist: the self-join would otherwise recompute the signature
@@ -210,20 +217,8 @@ def lsh_bucket_stats(df, text_col: str = "text", id_col: str = "doc_id",
     """Diagnostic: per-band-bucket doc counts, largest first.  Run this to
     pick / audit ``max_bucket_size`` for a corpus (the anti-silent-cap
     companion of minhash_lsh_pairs)."""
-    rows = n // bands
-    sigs = minhash_signatures(df, text_col, id_col, n)
-    band_cols = [
-        F.md5(F.concat_ws(",", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
-            "band_key"
-        )
-        for b in range(bands)
-    ]
-    exploded = sigs.select(
-        id_col,
-        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
     return (
-        exploded.groupBy("band", "band_key")
+        _banded(df, text_col, id_col, n, bands).groupBy("band", "band_key")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), "band", "band_key")
     )
@@ -242,7 +237,7 @@ def simhash(df, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMH
     shiftright/bitwise-and -> groupBy doc -> sign aggregation.  The word
     hash is md5-derived (see _hmd5_long) so the whole operator has an exact
     DuckDB oracle."""
-    words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    words = F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("w")
     base = _spread(df).select(F.col(id_col), words)
     wh = base.withColumn("wh", _hmd5_long(F.col("w"), SIMHASH_SEED))
     agg_exprs = [

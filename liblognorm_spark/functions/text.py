@@ -93,7 +93,7 @@ def fingerprint(col):
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (content-defined identity for exact/near dedup bucketing)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.lower(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", " ")))
 
 
 def with_text_stats(df, col: str = "text"):
@@ -170,19 +170,18 @@ PII_PATTERNS = [
 def scrub_pii(df, text_col: str = "text", id_col: str = "doc_id"):
     """Redact common PII patterns; emit per-kind hit counts.
 
-    Chained ``regexp_replace`` (one codegen stage, no Python); counts are
-    derived from length deltas so no second scan of the text is needed.
+    Chained ``regexp_replace`` (one codegen stage, no Python); each
+    kind's count is the split count of the PREVIOUS stage's text on the
+    pattern (= number of non-overlapping matches; no sentinel characters,
+    so pre-existing control bytes in scraped text cannot corrupt counts).
     The pattern set is the usual training-data baseline (emails, IPs,
     SSNs, phone numbers) — extend PII_PATTERNS for project policy."""
-    c = F.col(text_col)
-    scrubbed = c
+    scrubbed = F.col(text_col)
     counts = []
     for kind, pat, repl in PII_PATTERNS:
-        before = scrubbed
-        marked = F.regexp_replace(before, pat, "\x00")
-        n = F.length(marked) - F.length(F.regexp_replace(marked, "\x00", ""))
+        n = F.size(F.split(scrubbed, pat, -1)) - 1
         counts.append(n.cast("long").alias(f"n_{kind}"))
-        scrubbed = F.regexp_replace(marked, "\x00", repl)
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(
         F.col(id_col).alias("doc_id"),
         scrubbed.alias("scrubbed"),
@@ -191,10 +190,14 @@ def scrub_pii(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # GPT-2-style pre-tokenizer, restricted to syntax Java regex and RE2 agree
-# on (no lookahead — the original's \s+(?!\S) is RE2-inexpressible; its
-# effect only differs on trailing-whitespace runs, which the synthetic
-# corpus strips anyway)
-BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# on: no lookahead (the original's \s+(?!\S) is RE2-inexpressible; its
+# effect only differs on trailing-whitespace runs), and the whitespace
+# class written out explicitly — Java \s includes \x0B where RE2's does
+# not, so \s itself is NOT dialect-portable
+BPE_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
+)
 
 
 def bpe_token_count(col):

@@ -258,22 +258,27 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     from liblognorm_spark.compiler.compiler import MatchCohort
     from liblognorm_spark.runtime.walker import WalkState, walk_seq
 
-    def _record(pos, cr, ev, t):
-        _finalize_event(crb, cr, ev)
+    def _decorate(ev, rule, t):
+        """Shared option-driven event decoration — ONE definition so the
+        fast path and the walker fallback can never drift apart."""
         if add_originalmsg:
             ev["originalmsg"] = t
         if add_rule_location or add_rule_mockup or add_exec_path:
             meta = {}
             meta_rule = {}
             if add_rule_mockup:
-                meta_rule["mockup"] = cr.rule.raw
+                meta_rule["mockup"] = rule.raw
             if add_rule_location:
-                meta_rule["location"] = {"file": cr.rule.rb_file, "line": cr.rule.rb_line}
+                meta_rule["location"] = {"file": rule.rb_file, "line": rule.rb_line}
             if meta_rule:
                 meta["rule"] = meta_rule
             if add_exec_path:
-                meta["exec-path"] = _exec_path_of(crb, cr.rule)
+                meta["exec-path"] = _exec_path_of(crb, rule)
             ev["metadata"] = meta
+
+    def _record(pos, cr, ev, t):
+        _finalize_event(crb, cr, ev)
+        _decorate(ev, cr.rule, t)
         rule_id[pos] = cr.rule_id
         tags[pos] = list(cr.tags)
         fields_json[pos] = _dumps(ev)
@@ -362,20 +367,7 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
             originalmsg[pos] = ev["originalmsg"]
             fields_json[pos] = _dumps(ev)
         else:
-            if add_originalmsg:
-                ev["originalmsg"] = t
-            if add_rule_location or add_rule_mockup or add_exec_path:
-                meta = {}
-                meta_rule = {}
-                if add_rule_mockup:
-                    meta_rule["mockup"] = rule.raw
-                if add_rule_location:
-                    meta_rule["location"] = {"file": rule.rb_file, "line": rule.rb_line}
-                if meta_rule:
-                    meta["rule"] = meta_rule
-                if add_exec_path:
-                    meta["exec-path"] = _exec_path_of(crb, rule)
-                ev["metadata"] = meta
+            _decorate(ev, rule, t)
             rule_id[pos] = rule.rule_id
             tags[pos] = list(rule.tags)
             fields_json[pos] = _dumps(ev)

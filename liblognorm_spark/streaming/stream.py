@@ -146,4 +146,7 @@ def dedup_stream(stream_df, key_cols=("url",), ts_col: str = "warc_ts",
             return wm.dropDuplicatesWithinWatermark(cols)
         except AttributeError:  # pre-3.5 Spark
             pass
-    return wm.dropDuplicates(cols + [ts_col])
+    # exact-forever global dedup on the KEY alone (state unbounded);
+    # including the event time here would let same-key rows with different
+    # timestamps through, which is not deduplication
+    return wm.dropDuplicates(cols)

@@ -131,3 +131,43 @@ def test_bpe_token_count_splits(spark):
     # "it"+"'s"+" 2024"+","+" isn"+"'t"+" it"+"?!" = 8 pieces vs 4 ws tokens
     assert (rows[0]["ws"], rows[0]["bpe"]) == (4, 8)
     assert (rows[1]["ws"], rows[1]["bpe"]) == (3, 3)
+
+
+def test_malformed_media_never_raises():
+    """Hostile bytes with valid magic prefixes must degrade (None /
+    header-only), never raise — a decode task dies otherwise."""
+    import struct
+
+    bad_png = (
+        C._PNG_SIG + struct.pack(">I", 13) + b"IHDR" + b"A" * 13 + b"\0" * 4
+        + struct.pack(">I", 5) + b"IDAT" + b"xxxxx" + b"\0" * 4
+    )
+    truncated_jpg = b"\xff\xd8\xff\xc0\x00\x07\x08\x00\x21\x00\x2c"
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEjunk"
+    for payload in (bad_png, truncated_jpg, bad_wav, b"GIF89a", b"\x89PNG\r\n\x1a\n"):
+        C.sniff_decode(payload)  # must not raise
+    assert C.jpeg_meta(truncated_jpg) is None
+
+
+def test_scrub_pii_nul_safe(spark):
+    """A pre-existing NUL in scraped text must not be counted or rewritten
+    as a PII hit (regression: the old sentinel-based counter did both)."""
+    from liblognorm_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "abc\x00def no pii"), (2, "mail a@b.com end")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["scrubbed"] == "abc\x00def no pii" and rows[1]["n_email"] == 0
+    assert rows[2]["scrubbed"] == "mail <EMAIL> end" and rows[2]["n_email"] == 1
+
+
+def test_strtol_hex_prefix():
+    """C strtol skips an optional 0x/0X prefix for base 16 (and parses
+    just the '0' of a bare '0x')."""
+    from liblognorm_spark.compiler.motifs import _strtol
+
+    assert _strtol("0x1A", 16) == 26
+    assert _strtol("-0X1a", 16) == -26
+    assert _strtol("0x", 16) == 0
+    assert _strtol("1A", 16) == 26
