@@ -155,7 +155,10 @@ def _frag_nvl(p) -> str:
         name = rf"(?:(?!{re.escape(ass)})[\s\S])++"
     else:
         name = r"[A-Za-z0-9._-]++"
-    bare = rf"(?:\\[\s\S]|(?!{sep_cls})[^\\])*+"
+    # trailing lone backslash at EOS is consumed (the C escape scan steps
+    # past it; mirrored by the walker's _nv_regexes) — without this tail
+    # the fragment is NOT a superset and '0=\' style pairs fall through
+    bare = rf"(?:\\[\s\S]|(?!{sep_cls})[^\\])*+(?:\\(?![\s\S]))?"
     quoted = r"\"(?:\\[\s\S]|[^\"\\])*+\"|'(?:\\[\s\S]|[^'\\])*+'"
     pair = rf"{name}{re.escape(ass)}(?:{quoted}|{bare})"
     return rf"(?>(?:{pair}(?:{sep_cls}++{pair})*+{sep_cls}*+)?)"

@@ -149,3 +149,23 @@ def test_duration_ported():
         assert run1(rb, line)["field"] == want, line
     out = run1(rb, "duration 37:60:42 bytes")
     assert out["unparsed-data"] == "37:60:42 bytes"
+
+
+def test_nvl_trailing_lone_backslash():
+    """'0=\\' is a valid single pair whose value is the lone backslash
+    (the C escape scan consumes it at EOS) — and the FRAGMENT must agree,
+    or the pair falls through to lower-priority rules on the fast path
+    only (found by fuzzing)."""
+    import pandas as pd
+
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import match_batch
+
+    rb = Rulebase.from_string("version=2\nrule=kv:%f:name-value-list%\nrule=fb:%m:rest%\n")
+    crb = compile_rulebase(rb)
+    out = match_batch(crb, pd.Series(["0=\\"], dtype=object))
+    assert int(out["rule_id"][0]) == 0, out["fields_json"][0]
+    import json
+
+    assert json.loads(out["fields_json"][0])["f"] == {"0": "\\"}
