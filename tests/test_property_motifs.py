@@ -97,7 +97,7 @@ def _corrupt(draw_tuple):
 
 def case_strategy(gen):
     return st.tuples(
-        gen, st.integers(0, 3), st.integers(0, 63), st.sampled_from("09az.:- ")
+        gen, st.integers(0, 3), st.integers(0, 63), st.sampled_from("09az.:- \\\"'|,=%")
     ).map(_corrupt)
 
 
