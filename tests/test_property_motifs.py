@@ -73,6 +73,20 @@ MOTIFS = [
         '@cee: {"a": 1}', '@cee:{"a":1}', '@cee: {', '@cee: []', 'x@cee: {}',
     ])),
     ("%f:whitespace%x %r:rest%", st.text(alphabet=" \t\n\v\f\rx", max_size=8)),
+    # validate-via-walker motifs: a non-superset fragment breaks PRIORITY
+    # when a catch-all rule exists (the harness has one) — fuzz the guard
+    ("%f:cef% %r:rest%", st.tuples(
+        st.sampled_from(["CEF:0", "CEF:1", "CEF", "cef:0"]),
+        st.lists(st.sampled_from(["V", "p|q", "x\\|y", "", "a b"]), min_size=6, max_size=6),
+        st.sampled_from(["", " ", "   ", " a=b", " a=b c=d e", " _x.y=z", " a=v\\=w", " 9=x"]),
+    ).map(lambda t: t[0] + "|" + "|".join(t[1]) + "|" + t[2])),
+    ("%f:checkpoint-lea% %r:rest%", st.lists(
+        st.sampled_from(["k: v;", "a:b;", " x: y z;", "k:;", ";", "k v;", "a: b"]),
+        min_size=1, max_size=4).map("".join)),
+    ("%f:json% %r:rest%", st.sampled_from([
+        '{"a": 1}', '{"a":1}   ', '{"a": {"b": []}}', '{"a": }', '[1, 2]',
+        '"str"', 'true', '{', '{}', '{"a": 1}}', 'null x',
+    ])),
     ('%{"name":"f", "type":"repeat", "parser": {"type":"number"}, '
      '"while": {"type":"literal", "text":","}}% %r:rest%',
      st.lists(st.sampled_from(["1", "22", "333", "", "x"]), min_size=1, max_size=5).map(",".join)),
