@@ -189,3 +189,28 @@ def test_encoders_never_crash(event):
     assert isinstance(encode_xml(event), str)
     assert isinstance(encode_rfc5424(event), str)
     assert isinstance(encode_csv(event, sorted(event)[:3]), str)
+
+
+def test_cli_flag_combos_never_traceback(tmp_path):
+    """Random CLI flag combinations (valid and invalid) must exit with a
+    proper status and never print a traceback."""
+    import random
+    import subprocess
+    import sys
+
+    rb = tmp_path / "t.rulebase"
+    rb.write_text("version=2\nrule=t:%f:word%\n")
+    flags = [["-e", "json"], ["-e", "bogus"], ["-E", "fields"], ["-p"], ["-P"],
+             ["-H"], ["-T"], ["-t", "zzz"], ["-U"], ["-L"], ["-S"], ["-s"],
+             ["-o", "bogusOpt"], ["-r", "/nonexistent"], ["--bogus"]]
+    rng = random.Random(11)
+    for _ in range(20):
+        argv = [sys.executable, "-m", "liblognorm_spark.cli"]
+        for fl in rng.sample(flags, rng.randrange(1, 3)):
+            argv += fl
+        if "-r" not in argv:
+            argv += ["-r", str(rb)]
+        r = subprocess.run(argv, input="hello there\n\x00junk\n",
+                           capture_output=True, text=True, timeout=60)
+        assert r.returncode in (0, 1, 2), (argv, r.returncode, r.stderr[-300:])
+        assert "Traceback" not in r.stderr, (argv, r.stderr[-300:])
