@@ -22,10 +22,22 @@ MOTIFS = [
     ("%f:float% %r:rest%", st.tuples(st.sampled_from(["", "-"]), st.integers(0, 999), st.sampled_from(["", ".", ".5", ".25"])).map(lambda t: f"{t[0]}{t[1]}{t[2]}")),
     ("%f:hexnumber% %r:rest%", st.integers(0, 2**32).map(hex)),
     ("%f:ipv4% %r:rest%", st.tuples(*[st.integers(0, 300)] * 4).map(lambda t: ".".join(map(str, t)))),
-    ("%f:ipv6% %r:rest%", st.sampled_from([
-        "::1", "fe80::1", "1:2:3:4:5:6:7:8", "::ffff:1.2.3.4", "1::2:3",
-        "::", "1:2::3:4", "12345::1", "g::1", "1:2:3:4:5:6:7:8:9", "fe80:::1",
-    ])),
+    ("%f:ipv6% %r:rest%", st.one_of(
+        st.sampled_from([
+            "::1", "fe80::1", "1:2:3:4:5:6:7:8", "::ffff:1.2.3.4", "1::2:3",
+            "::", "1:2::3:4", "12345::1", "g::1", "1:2:3:4:5:6:7:8:9", "fe80:::1",
+        ]),
+        # compositional: 0-9 hex groups with an optional '::' inserted
+        # anywhere and an optional trailing v4 suffix
+        st.tuples(
+            st.lists(st.integers(0, 0xFFFFF).map(lambda v: f"{v:x}"), max_size=9),
+            st.integers(-1, 9),
+            st.booleans(),
+        ).map(lambda t: (lambda gs, dc, v4: (
+            ":".join(gs[:dc] ) + "::" + ":".join(gs[dc:]) if 0 <= dc <= len(gs)
+            else ":".join(gs)
+        ) + (".1.2.3.4" if v4 else ""))(*t)),
+    )),
     ("%f:mac48% %r:rest%", st.tuples(st.sampled_from([":", "-"]), *[st.integers(0, 255)] * 6).map(
         lambda t: t[0].join(f"{b:02x}" for b in t[1:]))),
     ("%f:date-rfc3164% %r:rest%", st.one_of(
