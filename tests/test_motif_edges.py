@@ -169,3 +169,14 @@ def test_nvl_trailing_lone_backslash():
     import json
 
     assert json.loads(out["fields_json"][0])["f"] == {"0": "\\"}
+
+
+def test_reference_user_test_c_case():
+    """tests/user_test.c: the reference's C-API smoke (single from_string
+    rule, two word fields)."""
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import normalize_strings
+
+    rb = Rulebase.from_string("rule=:%from:word% says %msg:word%")
+    out = normalize_strings(rb, ["foo says hello!"])[0]
+    assert out == {"from": "foo", "msg": "hello!"}
