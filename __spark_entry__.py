@@ -715,8 +715,6 @@ def q_frame_sample_real(spark, sf_dir):
         .select("doc_id")
     )
 
-    import pandas as _pd
-
     def add_gif(batches):
         from liblognorm_spark.functions.codecs import gif_encode
 
@@ -917,10 +915,15 @@ _PII_SQL = [
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
 ]
-_BPE_SQL = (
-    r"''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
-    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
-)
+def _bpe_sql() -> str:
+    """ONE source of truth for the BPE split pattern: the Spark-side
+    constant, with the single quote doubled for SQL embedding."""
+    from liblognorm_spark.functions.text import BPE_SPLIT_PATTERN
+
+    return BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+_BPE_SQL = _bpe_sql()
 
 
 def _training_pipeline_oracle() -> str:
@@ -1334,10 +1337,10 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(floor(length(replace(text, ' ', '')) * 1000.0 / (CASE WHEN length(trim(text)) = 0 THEN 1 ELSE len(string_split(trim(text), ' ')) END)) AS BIGINT) END) BETWEEN 2000 AND 12000 THEN 300 ELSE 0 END)
               AS BIGINT) AS quality_millis
             FROM documents""",
-        "bpe_tokens": """
+        "bpe_tokens": f"""
             SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS ws_tokens,
-              len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+')) AS bpe_tokens
+              len(regexp_extract_all(text, '{_BPE_SQL}')) AS bpe_tokens
             FROM documents""",
         # Gopher/C4-style quality rules; every expression mirrored
         "quality_filter": """

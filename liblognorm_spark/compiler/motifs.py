@@ -1417,8 +1417,19 @@ def _ordered_rules(rb):
 # active (parser-instance, remaining-length) frames: re-entering the SAME
 # recursive parser with the SAME remaining length can never progress (a
 # rule that STARTS with %f:recursive% normalizes its own full input) — the
-# reference C simply recurses until the stack blows; we fail the branch
-_ACTIVE_RECURSIONS: set = set()
+# reference C simply recurses until the stack blows; we fail the branch.
+# Thread-local so concurrent normalize calls cannot corrupt each other's
+# guard (each would otherwise see the other's frames and discard them).
+import threading as _threading
+
+_RECURSION_TLS = _threading.local()
+
+
+def _active_recursions() -> set:
+    s = getattr(_RECURSION_TLS, "active", None)
+    if s is None:
+        s = _RECURSION_TLS.active = set()
+    return s
 
 
 def parse_recursive(text, offs, params):
@@ -1438,10 +1449,11 @@ def parse_recursive(text, offs, params):
 
     rb = params["_sub_rb"]
     rem = text[offs:]
+    active = _active_recursions()
     key = (id(params), len(rem))
-    if key in _ACTIVE_RECURSIONS:
+    if key in active:
         return (0, NO_VALUE)
-    _ACTIVE_RECURSIONS.add(key)
+    active.add(key)
     try:
         rule, event, _pto = normalize_message(
             _ordered_rules(rb), rem, rb.types, rb.annotations,
@@ -1450,7 +1462,7 @@ def parse_recursive(text, offs, params):
     except RecursionError:
         return (0, NO_VALUE)
     finally:
-        _ACTIVE_RECURSIONS.discard(key)
+        active.discard(key)
     if rule is None:
         return (0, NO_VALUE)
     remaining = params["_remaining"]

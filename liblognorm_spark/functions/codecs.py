@@ -123,13 +123,17 @@ def png_meta(b: bytes) -> dict | None:
         "px_sum": None,
         "n_px": None,
     }
-    # pixel stats only for images whose decode cost is bounded by the input:
-    # a crafted IHDR can claim multi-TB dimensions in a 100-byte file
+    # pixel stats only for images whose decode cost is bounded by the
+    # CLAIMED dimensions: a crafted IHDR can claim multi-TB dimensions in a
+    # 100-byte file, and a zlib bomb can inflate ~1000x — so cap the
+    # inflate at the expected raw size (+1 to detect oversize) instead of
+    # decompressing first and checking after
     MAX_PX = 64 * 1024 * 1024
     if bit_depth == 8 and color_type in (0, 2, 6) and idat and width * height <= MAX_PX:
         bpp = _PNG_CHANNELS[color_type]
-        raw = zlib.decompress(bytes(idat))
-        if len(raw) == (width * bpp + 1) * height:
+        expected = (width * bpp + 1) * height
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        if len(raw) == expected:
             pixels = _png_unfilter(raw, width, height, bpp)
             meta["px_sum"] = int(sum(pixels))
             meta["n_px"] = len(pixels)

@@ -179,7 +179,9 @@ def scrub_pii(df, text_col: str = "text", id_col: str = "doc_id"):
     scrubbed = F.col(text_col)
     counts = []
     for kind, pat, repl in PII_PATTERNS:
-        n = F.size(F.split(scrubbed, pat, -1)) - 1
+        # size(NULL) is -1 under Spark's default sizeOfNull — NULL text
+        # must yield NULL counts, not -2
+        n = F.when(scrubbed.isNotNull(), F.size(F.split(scrubbed, pat, -1)) - 1)
         counts.append(n.cast("long").alias(f"n_{kind}"))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(

@@ -141,11 +141,11 @@ def dedup_stream(stream_df, key_cols=("url",), ts_col: str = "warc_ts",
     grows without bound — only for bounded backfills)."""
     wm = stream_df.withWatermark(ts_col, watermark)
     cols = list(key_cols)
-    if within_watermark:
-        try:
-            return wm.dropDuplicatesWithinWatermark(cols)
-        except AttributeError:  # pre-3.5 Spark
-            pass
+    # capability probe, not try/except: an AttributeError raised INSIDE
+    # dropDuplicatesWithinWatermark must propagate, not silently flip the
+    # stream to unbounded-state dedup
+    if within_watermark and hasattr(wm, "dropDuplicatesWithinWatermark"):
+        return wm.dropDuplicatesWithinWatermark(cols)
     # exact-forever global dedup on the KEY alone (state unbounded);
     # including the event time here would let same-key rows with different
     # timestamps through, which is not deduplication
