@@ -171,3 +171,50 @@ def test_strtol_hex_prefix():
     assert _strtol("-0X1a", 16) == -26
     assert _strtol("0x", 16) == 0
     assert _strtol("1A", 16) == 26
+
+
+def test_png_zlib_bomb_capped():
+    """A small PNG claiming small dims but carrying a huge-inflating IDAT
+    must not allocate past the claimed size (decompress is capped)."""
+    import struct
+    import time
+    import zlib
+
+    bomb_idat = zlib.compress(b"\x00" * (20 * 1024 * 1024), 9)  # ~20k bytes
+    png = (
+        C._PNG_SIG
+        + C._crc_chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 0))
+        + C._crc_chunk(b"IDAT", bomb_idat)
+        + C._crc_chunk(b"IEND", b"")
+    )
+    t0 = time.perf_counter()
+    m = C.png_meta(png)
+    assert time.perf_counter() - t0 < 1.0
+    assert m["width"] == 10 and m["px_sum"] is None  # header-only, no stats
+
+
+def test_recursive_guard_thread_local():
+    """Concurrent normalizes on a recursive rulebase must not corrupt each
+    other's reentry guard (it is thread-local)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import normalize_strings
+
+    rb = Rulebase.from_string("rule=:%word:word% %next:recursive%\nrule=:%word:word%\n")
+    inputs = [" ".join(f"w{i}x{j}" for j in range(6)) for i in range(40)]
+
+    def run(s):
+        return normalize_strings(rb, [s])[0]
+
+    with ThreadPoolExecutor(8) as ex:
+        outs = list(ex.map(run, inputs))
+    for s, o in zip(inputs, outs):
+        # every word chained under 'next', none degraded to unparsed
+        assert "unparsed-data" not in o, (s, o)
+        depth = 0
+        cur = o
+        while "next" in cur:
+            depth += 1
+            cur = cur["next"]
+        assert depth == 5, (s, o)
