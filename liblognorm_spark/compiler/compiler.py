@@ -57,7 +57,10 @@ FRAGMENTS: dict[str, Optional[Callable[[dict], Optional[str]]]] = {
     "word": lambda p: r"[^ ]++",
     "alpha": lambda p: r"[A-Za-z]++",
     "number": lambda p: r"[0-9]++",
-    "float": lambda p: r"(?:-[0-9]*+(?:\.[0-9]*+)?|[0-9]++(?:\.[0-9]*+)?|\.[0-9]*+)",
+    # the optional fraction group must be POSSESSIVE ('?+'): the C parser
+    # consumes '2.' in one pass and never gives the dot back, so a rule
+    # 'float%.' must NOT match '2.' via regex backtracking (fuzz-found)
+    "float": lambda p: r"(?:-[0-9]*+(?:\.[0-9]*+)?+|[0-9]++(?:\.[0-9]*+)?+|\.[0-9]*+)",
     "hexnumber": lambda p: rf"0x[0-9a-fA-F]*+(?={RE_SP})",
     "kernel-timestamp": lambda p: r"\[[0-9]{5,12}\.[0-9]{6}\]",
     "rest": lambda p: r"(?s:.*+)",

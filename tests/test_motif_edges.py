@@ -180,3 +180,20 @@ def test_reference_user_test_c_case():
     rb = Rulebase.from_string("rule=:%from:word% says %msg:word%")
     out = normalize_strings(rb, ["foo says hello!"])[0]
     assert out == {"from": "foo", "msg": "hello!"}
+
+
+def test_float_fraction_possessive():
+    """'float%.' must NOT match '...2.' — the C float parser consumes the
+    trailing dot possessively and never backtracks (fuzz-found: the regex
+    fragment's optional fraction group used to give the dot back)."""
+    import pandas as pd
+
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import match_batch
+
+    rb = Rulebase.from_string("rule=:n %f:float%.\n")
+    crb = compile_rulebase(rb)
+    out = match_batch(crb, pd.Series(["n 2.71.", "n 2."], dtype=object))
+    assert int(out["rule_id"][0]) == 0      # '2.71' + literal '.'
+    assert int(out["rule_id"][1]) == -1     # float eats '2.', literal fails

@@ -226,3 +226,41 @@ def test_cli_flag_combos_never_traceback(tmp_path):
                            capture_output=True, text=True, timeout=60)
         assert r.returncode in (0, 1, 2), (argv, r.returncode, r.stderr[-300:])
         assert "Traceback" not in r.stderr, (argv, r.stderr[-300:])
+
+
+def test_corpus_mutation_differential():
+    """Every ported reference rulebase, its own golden inputs mutated
+    (seeded): the fast path must agree with the walker on ALL of them —
+    this is the sweep that caught the float possessive-fraction bug."""
+    import random
+
+    corpus = json.load(open("tests/corpus/cases.json"))
+    rng = random.Random(42)
+    checked = 0
+    for script, cases in sorted(corpus["cases"].items()):
+        for case in cases:
+            if case.get("aux") or case.get("aux_env"):
+                continue
+            rb = Rulebase.from_string(case["rulebase"], opts=frozenset(case.get("opts", ())))
+            crb = compile_rulebase(rb)
+            muts = []
+            for s in (step["input"] for step in case["steps"]):
+                muts.append(s)
+                for _ in range(3):
+                    if not s:
+                        continue
+                    p = rng.randrange(len(s))
+                    mode = rng.randrange(3)
+                    ch = rng.choice("09az.:-| =\\\"'")
+                    muts.append(s[:p] + ch + s[p + 1:] if mode == 0
+                                else (s[:p] if mode == 1 else s + ch))
+            fast = match_batch(crb, pd.Series(muts, dtype=object))
+            for i, t in enumerate(muts):
+                rule, _ev, _ = normalize_message(
+                    crb.ordered_rules, t, crb.types, crb.annotations,
+                    v1_engine=crb.version == 1,
+                )
+                fr, wr = int(fast["rule_id"][i]), (rule.rule_id if rule else -1)
+                assert fr == wr, f"{script}: {t!r} fast={fr} walker={wr}"
+                checked += 1
+    assert checked > 1500
