@@ -491,6 +491,13 @@ class MatchCohort:
     def build(self, ctx: "_Ctx" = None, types: dict | None = None):
         if ctx is None:
             ctx = _Ctx(types or {})
+        # the ctx is shared across the whole rulebase compile: a preceding
+        # WALKER-ONLY rule leaves regexable=False, and _item_fragment then
+        # returns "" for custom-type nodes — silently DROPPING them from
+        # the master pattern (fuzz-found: a discard-named user type
+        # vanished, matching inputs the rule must reject).  Every rule in
+        # this cohort already compiled regexable, so reset and re-assert.
+        ctx.regexable = True
         root = _TrieNode()
         for cr in self.rules:
             node = root
@@ -544,6 +551,12 @@ class MatchCohort:
             return "(?:" + "|".join(parts) + ")"
 
         pattern_src = emit(root)
+        if not ctx.regexable:
+            raise AssertionError(
+                "cohort fragment rebuild turned non-regexable for rules "
+                f"{[cr.rule_id for cr in self.rules]} — inconsistent with "
+                "their per-rule compilation"
+            )
         self.pattern = re.compile(pattern_src)
         self.by_marker = {
             self.pattern.groupindex[f"R{order}"]: plan for order, plan in plans.items()

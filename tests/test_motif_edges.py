@@ -197,3 +197,34 @@ def test_float_fraction_possessive():
     out = match_batch(crb, pd.Series(["n 2.71.", "n 2."], dtype=object))
     assert int(out["rule_id"][0]) == 0      # '2.71' + literal '.'
     assert int(out["rule_id"][1]) == -1     # float eats '2.', literal fails
+
+
+def test_cohort_keeps_custom_fragment_after_walker_only_rule():
+    """A walker-only rule leaves the shared compile ctx non-regexable; the
+    cohort master-pattern rebuild must still emit custom-type fragments
+    (fuzz-found: a discard-named user type vanished from the master, so
+    'a pid[47119 b' — missing the ']' — falsely matched on the fast
+    path, and genuinely matching rows fell to the slow fallback)."""
+    import pandas as pd
+
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import match_batch
+
+    rb = Rulebase.from_string(
+        "version=2\n"
+        'type=@endpid:%{"type":"alternative","parser":[ {"type": "literal", "text":"]"},'
+        '{"type": "literal", "text":"]:"} ] }%\n'
+        "type=@w:%iface:char-to:/%/%ip:ipv4%\n"
+        "type=@w:%iface:char-to:\\x3a%\\x3a%ip:ipv4%\n"
+        "rule=:a pid[%pid:number%%-:@endpid% b\n"
+        "rule=:a iface %.:@w% b\n"  # merged-head type -> walker-only
+    )
+    crb = compile_rulebase(rb)
+    from liblognorm_spark.compiler.compiler import MatchCohort
+
+    master = next(c for c in crb.cohorts if isinstance(c, MatchCohort)).pattern.pattern
+    assert "\\]" in master, master  # the @endpid literals are in the master
+    out = match_batch(crb, pd.Series(
+        ["a pid[47119 b", "a pid[47119] b", "a pid[47119]: b"], dtype=object))
+    assert [int(x) for x in out["rule_id"]] == [-1, 0, 0]
