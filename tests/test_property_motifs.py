@@ -256,11 +256,14 @@ def test_corpus_mutation_differential():
                                 else (s[:p] if mode == 1 else s + ch))
             fast = match_batch(crb, pd.Series(muts, dtype=object))
             for i, t in enumerate(muts):
-                rule, _ev, _ = normalize_message(
+                rule, ev, _ = normalize_message(
                     crb.ordered_rules, t, crb.types, crb.annotations,
                     v1_engine=crb.version == 1,
                 )
                 fr, wr = int(fast["rule_id"][i]), (rule.rule_id if rule else -1)
                 assert fr == wr, f"{script}: {t!r} fast={fr} walker={wr}"
+                if wr >= 0:  # matched: the extracted fields must agree too
+                    fev = json.loads(fast["fields_json"][i]) if fast["fields_json"][i] else {}
+                    assert fev == ev, f"{script}: {t!r}\n fast={fev}\n walk={ev}"
                 checked += 1
     assert checked > 1500
