@@ -338,11 +338,17 @@ def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_i
                         min_cos_millis: int = 350, dim: int = 64,
                         ntables: int = EMB_NEAR_DUP_TABLES,
                         nplanes: int = EMB_NEAR_DUP_PLANES,
-                        max_bucket_size: int | None = None):
+                        max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
     """Embedding-cosine near-dup with LSH amplification: ``ntables``
     independent sign-LSH tables of ``nplanes`` hyperplanes each (OR across
     tables); candidates are pairs sharing a bucket in ANY table, verified by
     exact cosine inside buckets only.
+
+    ``max_bucket_size`` caps per-table buckets like the minhash path: a
+    degenerate corpus (many identical embeddings -> one bucket per table)
+    would otherwise re-create the k^2 self-join blowup.  Pass None to
+    disable; use the same no-silent-caps diagnostics discipline as
+    minhash_lsh_pairs when tuning.
 
     With one table of t planes the capture probability for a pair at angle
     θ is (1-θ/π)^t — hopeless for moderate similarity; L tables raise it to
@@ -453,7 +459,12 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     prev = edges.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         nxt = star(star(prev, large=True), large=False).localCheckpoint(eager=True)
-        if nxt.exceptAll(prev).limit(1).count() == 0:
+        # converged only when the edge SETS are equal: nxt ⊆ prev alone
+        # (a round that only removes edges) must not stop the loop early
+        if (
+            nxt.exceptAll(prev).limit(1).count() == 0
+            and prev.exceptAll(nxt).limit(1).count() == 0
+        ):
             prev = nxt
             break
         prev = nxt

@@ -209,6 +209,27 @@ def test_lsh_bucket_cap_defuses_skew(spark):
     assert unpersist_dedup_caches() >= 2
 
 
+def test_embedding_bucket_cap_defuses_skew(spark):
+    """1000 identical embedding vectors collapse into ONE sign-LSH bucket in
+    every table; the default cap drops those buckets so the self-join stays
+    linear (the minhash skew defense, mirrored on the embedding path)."""
+    from liblognorm_spark.functions.dedup import (
+        embedding_near_dups,
+        unpersist_dedup_caches,
+    )
+
+    vec = [float((i * 37) % 13 - 6) for i in range(64)]
+    emb = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).alias("embedding"),
+    )
+    capped = embedding_near_dups(emb, dim=64)  # default max_bucket_size
+    assert capped.count() == 0  # hot buckets dropped, no k^2 blowup
+    uncapped = embedding_near_dups(emb, dim=64, max_bucket_size=None)
+    assert uncapped.count() == 1000 * 999 // 2  # what the cap prevents
+    assert unpersist_dedup_caches() >= 2
+
+
 def test_connected_components_vs_union_find(spark):
     """Alternating large/small-star components == a driver-side union-find
     on a random 200-node graph (plus a 30-chain, the slow-convergence worst
