@@ -42,6 +42,11 @@ def build_parser():
                    help="write extended per-rule statistics ('-' = stdout)")
     p.add_argument("-x", dest="stats_dot_file", metavar="FILE",
                    help="write rulebase DOT annotated with match counts")
+    p.add_argument("-v", dest="verbose", action="count", default=0,
+                   help="verbose output to stderr (repeat for more: >1 tag "
+                        "diagnostics, >2 dump the compiled rulebase)")
+    p.add_argument("-V", dest="version", action="store_true",
+                   help="print version information and exit")
     p.add_argument("-H", dest="summary", action="store_true",
                    help="print a summary line (records/parsed/unparsed)")
     p.add_argument("-s", dest="stats", action="store_true",
@@ -60,6 +65,16 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.version:
+        # lognormalizer.c:283-290 printVersion: version lines to stderr,
+        # then exit 1 (the reference exits non-zero on -V)
+        from liblognorm_spark import __version__
+
+        print(f"lognormalizer version: {__version__}", file=sys.stderr)
+        print("liblognorm version: 2.1.0 (liblognorm_spark "
+              f"{__version__} compatible)", file=sys.stderr)
+        print("\tadvanced stats: not available", file=sys.stderr)
+        return 1
     from liblognorm_spark.compiler.compiler import compile_rulebase
     from liblognorm_spark.encoders import ENCODERS
     from liblognorm_spark.rulebase.loader import Rulebase
@@ -89,6 +104,14 @@ def main(argv=None) -> int:
     for e in rb.errors:
         print(f"rulebase error: {e}", file=sys.stderr)
     crb = compile_rulebase(rb)
+    if args.verbose > 0:
+        # lognormalizer.c:504: "number of tree nodes" after rulebase load
+        print(f"number of tree nodes: {len(crb.rules)}", file=sys.stderr)
+    if args.verbose > 2:
+        # ln_displayPDAG analogue: dump the compiled rulebase graph
+        from liblognorm_spark.compiler.dot import rulebase_to_dot
+
+        print(rulebase_to_dot(crb), file=sys.stderr)
     if args.dot_file:
         from liblognorm_spark.compiler.dot import rulebase_to_dot
 
@@ -122,6 +145,8 @@ def main(argv=None) -> int:
     num_parsed = num_unparsed = num_wrongtag = 0
     rule_hits: dict[int, int] = {}
     for i in range(len(res)):
+        if args.verbose > 0:  # lognormalizer.c:231
+            print(f"To normalize: '{lines[i]}'", file=sys.stderr)
         unparsed = res["unparsed_data"][i] is not None
         if unparsed:
             num_unparsed += 1
@@ -137,13 +162,18 @@ def main(argv=None) -> int:
         if args.tag:
             if args.tag not in (ev.get("event.tags") or []):
                 num_wrongtag += 1
+                if args.verbose > 1:  # lognormalizer.c:162 (stdout, not stderr)
+                    print(f"Mandatory tag '{args.tag}' has not been found")
                 continue
         if args.add_original and not unparsed:
             ev["originalmsg"] = lines[i]
         if args.line_nbr and unparsed:
             # lognormalizer.c:167-176 amendLineNbr (1-based input line)
             ev["lognormalizer.line_nbr"] = i + 1
-        print(enc(ev, csv_fields))
+        encoded = enc(ev, csv_fields)
+        if args.verbose > 0:  # lognormalizer.c:135
+            print(f"normalized: '{encoded}'", file=sys.stderr)
+        print(encoded)
     if args.nbr_unparsed and num_unparsed > 0:
         print(f"{num_unparsed} unparsable entries", file=sys.stderr)
     if num_wrongtag > 0:

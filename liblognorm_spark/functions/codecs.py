@@ -200,9 +200,17 @@ def jpeg_meta(b: bytes) -> dict | None:
             pos += 1
             continue
         marker = b[pos + 1]
+        if marker == 0x00:  # stuffed 0xFF00 data byte, not a marker
+            pos += 2
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker in (0xD9, 0xDA):
+            # EOI (standalone, no length) / SOS: SOF precedes SOS in any
+            # decodable JPEG, so reaching either without an SOF means the
+            # stream has no readable frame header
+            return None
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

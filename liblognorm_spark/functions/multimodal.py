@@ -123,7 +123,13 @@ def frame_sample(df, binary_col: str = "html", every_n: int = 8, id_cols: tuple[
     With ``real=True`` the frame count comes from a REAL container walk
     (GIF block structure via the stdlib codec); the stub decode otherwise.
     Bytes are NOT duplicated — only (id, frame_idx) rows flow out, the
-    frame extractor would attach decoded frames here."""
+    frame extractor would attach decoded frames here.
+
+    With ``real=True`` rows whose format could not be decoded (``n_frames``
+    NULL) produce no frames; per the module's no-silent-drop convention use
+    :func:`frame_sample_dropped` on the same input to get exactly those
+    rows as a diagnostic output (the two results partition the input).
+    """
     from pyspark.sql import functions as F
 
     meta = decode_media(df, binary_col, id_cols, real=real)
@@ -135,6 +141,17 @@ def frame_sample(df, binary_col: str = "html", every_n: int = 8, id_cols: tuple[
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def frame_sample_dropped(df, binary_col: str = "html", id_cols: tuple[str, ...] = ("url",)):
+    """Diagnostic twin of ``frame_sample(real=True)``: the rows it drops
+    (undecodable format -> no frame count), with the sniffed format string.
+    Route these to a quarantine sink so undecodable media are visible, not
+    silently vanished."""
+    from pyspark.sql import functions as F
+
+    meta = decode_media(df, binary_col, id_cols, real=True)
+    return meta.where(F.col("n_frames").isNull()).select(*id_cols, "format")
 
 
 def synth_png_col(df, id_col: str = "doc_id", out_col: str = "png"):

@@ -70,12 +70,16 @@ def run_resumable(spark, pages, out_dir: str, n_chunks: int = 8,
         man.state["started_at"] = time.time()
 
     remaining = [c for c in range(n_chunks) if c not in man.completed]
-    if fail_after == 0:
+    if fail_after == 0 and remaining:
         # the simulated crash happens before any wave runs; range() would
-        # otherwise reject a 0 step before the guard fires
+        # otherwise reject a 0 step before the guard fires.  On an
+        # already-complete manifest there is no work left to crash in, so
+        # the resume returns cleanly like any other fail_after value.
         raise RuntimeError("simulated failure after 0 chunks")
     if wave_size is None:
-        wave_size = fail_after if fail_after is not None else max(len(remaining), 1)
+        # fail_after=0 only reaches here with nothing remaining (guard
+        # above); fall through to the no-op loop with a valid step
+        wave_size = fail_after if fail_after else max(len(remaining), 1)
     keyed = pages.withColumn("chunk", F.pmod(F.xxhash64("url"), F.lit(n_chunks)).cast("int"))
 
     done = 0

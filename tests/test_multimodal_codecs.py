@@ -76,6 +76,27 @@ def test_jpeg_sof_scan():
     assert (j["width"], j["height"], j["channels"], j["bit_depth"]) == (44, 33, 3, 8)
 
 
+def test_jpeg_standalone_markers_and_sos_stop():
+    """Standalone markers carry no length field: stuffed 0xFF00 bytes and a
+    thumbnail EOI must not trigger a bogus seglen read, and a scan that
+    reaches SOS/EOI without an SOF has no frame header to return."""
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 33, 44) + bytes([3]) + b"\x00" * 3
+    )
+    # stuffed 0xFF00 data bytes before the SOF: previously parsed as a
+    # marker with a garbage length that could jump past the real SOF
+    jpg = b"\xff\xd8" + b"\xff\x00" + b"\xff\x00" + sof + b"\xff\xd9"
+    j = C.jpeg_meta(jpg)
+    assert j is not None and (j["width"], j["height"]) == (44, 33)
+    # SOS before any SOF: stop (SOF precedes SOS in any decodable JPEG)
+    sos_first = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00" + sof
+    assert C.jpeg_meta(sos_first) is None
+    # EOI before any SOF: stop rather than reading a length past it
+    eoi_first = b"\xff\xd8" + b"\xff\xd9" + sof
+    assert C.jpeg_meta(eoi_first) is None
+
+
 def test_wav_meta():
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
@@ -115,6 +136,31 @@ def test_spark_real_decode_roundtrip(spark):
     assert out["wav"]["format"] == "wav" and out["wav"]["sample_rate"] == 8000
     assert out["junk"]["format"] == "unknown" and out["junk"]["media_bytes"] == 5
     _ = F
+
+
+def test_frame_sample_dropped_partitions_input(spark):
+    """frame_sample(real=True) + frame_sample_dropped partition the input:
+    decodable rows emit frames, undecodable rows land in the diagnostic
+    output with format='unknown' — no silent drop."""
+    from liblognorm_spark.functions.multimodal import (
+        frame_sample,
+        frame_sample_dropped,
+        synth_png_col,
+    )
+
+    good = synth_png_col(
+        spark.range(3).selectExpr("id AS doc_id", "concat('u', id) AS url"),
+        out_col="media",
+    ).select("url", "media")
+    bad = spark.createDataFrame(
+        [("ubad", bytearray(b"not media at all"))], "url string, media binary"
+    )
+    df = good.union(bad)
+    frames = frame_sample(df, binary_col="media", real=True)
+    dropped = frame_sample_dropped(df, binary_col="media")
+    assert set(r["url"] for r in frames.collect()) == {"u0", "u1", "u2"}
+    drows = dropped.collect()
+    assert [(r["url"], r["format"]) for r in drows] == [("ubad", "unknown")]
 
 
 def test_bpe_token_count_splits(spark):

@@ -60,6 +60,10 @@ def test_checkpoint_resume(spark, pages, tmp_path):
     assert total == 500
     # lineage recorded per chunk
     assert all(man2.state["lineage"][str(c)] for c in range(4))
+    # fail_after=0 on an already-complete manifest: nothing left to crash
+    # in, so the resume reaches completion like any other fail_after value
+    man3 = run_resumable(spark, pages, out, n_chunks=4, fail_after=0)
+    assert len(man3.completed) == 4
 
 
 def test_streaming_window_counts(spark, pages, tmp_path):
@@ -223,6 +227,70 @@ def test_cli_ctx_opts_and_diagnostics(tmp_path):
         capture_output=True, text=True, cwd=REPO,
     )
     assert r2.returncode == 1 and "invalid -o option" in r2.stderr
+
+
+def test_exec_path_backtrack_deviation():
+    """Pins the DOCUMENTED deviation from the reference (matcher.py
+    _exec_path_of): the vectorized engine reconstructs the deterministic
+    final path, so exec-path on an input that made the reference's walker
+    backtrack carries the matched rule's entries + PATHLEN trailer but NO
+    '[B]' backtrack markers (pdag.c:1268-1293 would emit them)."""
+    import pandas as pd
+
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import match_batch
+
+    # shared literal prefix; the number branch is tried first and fails on
+    # 'xyz', forcing a backtrack into the word branch
+    rb = Rulebase.from_string(
+        "version=2\nrule=num:a %n:number%\nrule=word:a %w:word%\n"
+    )
+    crb = compile_rulebase(rb)
+    res = match_batch(crb, pd.Series(["a xyz"]), add_exec_path=True)
+    assert res["unparsed_data"][0] is None
+    ev = json.loads(res["fields_json"][0])
+    assert ev["w"] == "xyz" and "word" in ev["event.tags"]
+    ep = ev["metadata"]["exec-path"]
+    assert "word" in ep and "PATHLEN" in ep and "PARSER CALLS" in ep
+    assert "[B]" not in ep  # the deviation: no backtrack markers
+
+
+def test_cli_version_and_verbose(tmp_path):
+    """-V prints version lines to stderr and exits 1 (lognormalizer.c:361,
+    printVersion:283-290); -v adds per-line diagnostics to stderr
+    (c:231,135,504); -vv prints the missing-tag note to STDOUT (c:162)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-V"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 1
+    assert "lognormalizer version:" in r.stderr
+    assert "liblognorm version:" in r.stderr
+    assert "advanced stats:" in r.stderr
+    assert r.stdout == ""
+
+    rb = tmp_path / "t.rulebase"
+    rb.write_text("version=2\nrule=tag1:%w:word% %n:number%\n")
+    inp = tmp_path / "in.log"
+    inp.write_text("hello 42\n")
+    rv = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb), "-v", str(inp)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert rv.returncode == 0
+    assert "number of tree nodes: 1" in rv.stderr
+    assert "To normalize: 'hello 42'" in rv.stderr
+    assert "normalized: '" in rv.stderr
+    assert json.loads(rv.stdout.strip())["w"] == "hello"  # stdout unchanged
+
+    rvv = subprocess.run(
+        [sys.executable, "-m", "liblognorm_spark.cli", "-r", str(rb),
+         "-v", "-v", "-t", "notag", str(inp)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert "Mandatory tag 'notag' has not been found" in rvv.stdout
+    assert "1 entries with wrong tag dropped" in rvv.stderr
 
 
 def test_cli_filters_and_encoders(tmp_path):
