@@ -6,11 +6,13 @@ Prints ONE JSON line:
    "queries": {...per-query seconds...}, "sf": ..., "scaling": {...}}
 
 The primary metric is normalized docs/sec through the full
-parse->enrich->route->aggregate pipeline (BASELINE.json).  With
-SPARK_GRAFT_SCALING=1 (or --scaling) the pipeline also runs at N=1/4 of
-the configured cores on the same input and reports
-efficiency = T(4N) / (4 * T(N)) — the sandbox evidence for the >=0.8
-scaling criterion (BASELINE.md).
+parse->enrich->route->aggregate pipeline (BASELINE.json).  By default the
+same pipeline also runs over the same input at 1 and 4 cores (clean
+subprocess JVMs) and the output carries
+efficiency = T(4N) / (4 * T(N)) — the sandbox evidence for the north
+rule's >=0.8 N->4N scaling criterion (BASELINE.md).  SPARK_GRAFT_SCALING=1
+(or --scaling) upgrades that to the full 4-level curve at 4.8M docs
+best-of-4; SPARK_GRAFT_SCALING=0 skips scaling entirely.
 """
 
 from __future__ import annotations
@@ -92,7 +94,14 @@ def _fresh_spark(cpus):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    do_scaling = os.environ.get("SPARK_GRAFT_SCALING") == "1" or "--scaling" in sys.argv
+    # scaling evidence is ON by default (the driver records BENCH_r{N} from a
+    # bare `python bench.py`, and the north rule wants throughput at two
+    # parallelism levels + efficiency IN the bench output).  Default mode runs
+    # the trimmed 1-vs-4-core pair; --scaling / SPARK_GRAFT_SCALING=1 runs the
+    # full 4-level curve; SPARK_GRAFT_SCALING=0 skips it entirely.
+    scaling_env = os.environ.get("SPARK_GRAFT_SCALING")
+    full_scaling = scaling_env == "1" or "--scaling" in sys.argv
+    do_scaling = full_scaling or scaling_env != "0"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     import __spark_entry__ as E
@@ -159,7 +168,7 @@ def main():
     }
 
     if do_scaling:
-        out["scaling"] = _scaling_evidence(cpus, spark)
+        out["scaling"] = _scaling_evidence(cpus, spark, full=full_scaling)
 
     print(json.dumps(out))
 
@@ -170,6 +179,7 @@ from pyspark.sql import SparkSession
 from pyspark import StorageLevel
 from liblognorm_spark.pipeline import pipeline as PL
 cpus, n, src = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+reps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 b = (SparkSession.builder.master(f"local[{cpus}]").appName("scale")
      .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
      .config("spark.sql.adaptive.enabled", "true")
@@ -185,7 +195,7 @@ pages = sp.read.parquet(src).repartition(cpus * 4).persist(StorageLevel.MEMORY_O
 pages.count()
 PL.run_pipeline(sp, pages).collect()  # warm python workers + JIT
 times = []
-for _ in range(4):
+for _ in range(reps):
     t0 = time.perf_counter()
     PL.run_pipeline(sp, pages).collect()
     times.append(time.perf_counter() - t0)
@@ -194,17 +204,25 @@ print(json.dumps({"cpus": cpus, "times": [round(t, 2) for t in times],
 """
 
 
-def _scaling_evidence(cpus: int, spark) -> dict:
+def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
     """N vs 4N evidence (BASELINE.md): the same pipeline over the same
     materialized parquet input at two parallelism levels, each level in a
-    clean subprocess JVM, best of 3 (the sandbox shows multi-x run-to-run
-    variance from shared-host noise)."""
+    clean subprocess JVM, best of N (the sandbox shows multi-x run-to-run
+    variance from shared-host noise).
+
+    ``full=False`` (the default-on per-round mode) times only the clean
+    1-vs-4-core pair at 2.4M docs with best-of-2 — enough to evidence the
+    north rule's >=0.8 N->4N criterion without multiplying the bench wall
+    time; ``full=True`` (--scaling) runs the 4-level curve at 4.8M docs
+    best-of-4 (the BASELINE.md protocol)."""
     import subprocess
     import tempfile
 
     from liblognorm_spark.pipeline.pages import pages_df_n
 
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "4800000"))
+    default_docs = "4800000" if full else "2400000"
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", default_docs))
+    reps = 4 if full else 2
     src = os.path.join(tempfile.gettempdir(), f"lls_scale_{n}")
     if not os.path.exists(src):
         pages_df_n(spark, n).write.mode("overwrite").parquet(src)
@@ -217,7 +235,7 @@ def _scaling_evidence(cpus: int, spark) -> dict:
 
     def run(level: int) -> dict:
         r = subprocess.run(
-            [sys.executable, child, str(level), str(n), src],
+            [sys.executable, child, str(level), str(n), src, str(reps)],
             capture_output=True, text=True, env=env, timeout=1800,
         )
         return json.loads(r.stdout.strip().splitlines()[-1])
@@ -229,7 +247,7 @@ def _scaling_evidence(cpus: int, spark) -> dict:
     # transparency — a real cluster adds whole nodes, each with its own
     # JVM + Python workers, so the high-end single-box pair understates
     # cluster efficiency).
-    levels = sorted({1, 4, max(1, cpus // 4), cpus})
+    levels = sorted({1, 4, max(1, cpus // 4), cpus}) if full else [1, 4]
     results = {lvl: run(lvl) for lvl in levels}
     curve = [
         {

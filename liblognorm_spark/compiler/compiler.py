@@ -561,6 +561,13 @@ class MatchCohort:
         self.by_marker = {
             self.pattern.groupindex[f"R{order}"]: plan for order, plan in plans.items()
         }
+        # precomputed per-plan extraction tuples for the matcher hot loop:
+        # reversed once here (not per row), and simple captures resolved to
+        # INTEGER group indices (m.group(int) skips the name lookup)
+        gidx = self.pattern.groupindex
+        for plan in plans.values():
+            plan.simple_rev = tuple((gidx[g], nm) for g, nm in reversed(plan.simple))
+            plan.specs_rev = tuple(reversed(plan.specs))
         return self
 
     def plan_for(self, m: re.Match):

@@ -1529,5 +1529,12 @@ def coerce_value(motif: str, raw, params):
         if motif == "hexnumber":
             return int(raw, 16)
         if motif == "float":
-            return float(raw)
+            try:
+                return float(raw)
+            except ValueError:
+                # the float motif admits lone '-' / '.' / '-.' (C quirk);
+                # the reference accumulates digits into a double and gets
+                # (-)0.0 for those shapes (parser.c:893-930) — float(raw)
+                # fails on exactly those degenerate inputs
+                return -0.0 if raw.startswith("-") else 0.0
     return raw

@@ -129,14 +129,33 @@ def _hmd5_long(col, seed: int):
     ).cast("long")
 
 
-def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: int = N_MINHASH):
+def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = N_MINHASH, method: str = "agg"):
     """doc -> array<string> of n minhashes (16-hex-char) over word shingles.
 
-    Shape matters at scale: explode shingles once, compute the n seeded
-    hashes per shingle row, then groupBy(doc).min per hash — partial
-    aggregation combines map-side, and the shingle-construction expression
-    is evaluated exactly once (building n array_min(transform(...)) trees
-    over the raw expression would inline the shingle builder n times)."""
+    Two physical strategies, identical results (min per seed over the same
+    shingle set — the DuckDB oracle mirrors the VALUE, not the plan):
+
+    * ``agg`` (default): ONE higher-order ``F.aggregate`` pass over the
+      per-row shingle array folds all n seeded mins — zero explode, zero
+      shuffle, the whole signature stage stays inside the row's partition.
+      Chosen default on interleaved A/B medians (BASELINE.md).
+    * ``explode``: explode shingles once, n seeded hash columns, then
+      groupBy(doc).min per hash (map-side partial agg + one shuffle).
+    """
+    if method == "agg":
+        sentinel = F.array_repeat(F.lit("g"), n)  # 'g' > any hex char
+        acc_fold = F.aggregate(
+            F.col("_sh"),
+            sentinel,
+            lambda acc, s: F.array(*[
+                F.least(F.element_at(acc, i + 1), _hmd5(s, i)) for i in range(n)
+            ]),
+        )
+        return (
+            df.select(F.col(id_col), _word_shingles(F.col(text_col)).alias("_sh"))
+            .select(F.col(id_col), acc_fold.alias("minhash"))
+        )
     sh = _spread(df).select(
         F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle")
     )
@@ -149,11 +168,11 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", n: in
     )
 
 
-def _banded(df, text_col: str, id_col: str, n: int, bands: int):
+def _banded(df, text_col: str, id_col: str, n: int, bands: int, method: str = "agg"):
     """(id, minhash, band, band_key) rows — ONE definition of the banding
     so the pair join and the bucket diagnostics can never drift apart."""
     rows = n // bands
-    sigs = minhash_signatures(df, text_col, id_col, n)
+    sigs = minhash_signatures(df, text_col, id_col, n, method=method)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
             "band_key"
@@ -168,7 +187,8 @@ def _banded(df, text_col: str, id_col: str, n: int, bands: int):
 
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                       n: int = N_MINHASH, bands: int = N_BANDS,
-                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+                      method: str = "agg"):
     """Candidate near-dup pairs via banded LSH: same band signature in any
     band -> candidate.  Returns distinct (id_a < id_b) pairs with their
     estimated jaccard (= matching minhash fraction, in millis).
@@ -180,7 +200,7 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     bands, and it is the standard boilerplate-band defense.  Use
     lsh_bucket_stats() to see what a given corpus would drop — no silent
     caps.  Pass None to disable."""
-    exploded = _banded(df, text_col, id_col, n, bands)
+    exploded = _banded(df, text_col, id_col, n, bands, method=method)
     if max_bucket_size is not None:
         exploded = _cap_buckets(exploded, ["band", "band_key"], max_bucket_size)
     # persist: the self-join would otherwise recompute the signature

@@ -56,6 +56,24 @@ def _finalize_event(crb: CompiledRulebase, cr, ev: dict) -> dict:
     return ev
 
 
+def _rule_meta(crb: CompiledRulebase):
+    """rule_id -> per-rule constants (tags list, rb_file, rb_line), plus the
+    -1 unmatched defaults.  The tags list is ONE shared object per rule —
+    consumers only ever read it; building a fresh list per matched row was
+    a measurable cost on matched-heavy batches.  Cached on the rulebase."""
+    maps = getattr(crb, "_rule_meta_cache", None)
+    if maps is None:
+        tmap = {-1: None}
+        fmap = {-1: None}
+        lmap = {-1: 0}
+        for cr in crb.rules:
+            tmap[cr.rule_id] = list(cr.tags)
+            fmap[cr.rule_id] = cr.rule.rb_file
+            lmap[cr.rule_id] = cr.rule.rb_line
+        maps = crb._rule_meta_cache = (tmap, fmap, lmap)
+    return maps
+
+
 try:  # orjson: ~5x faster serialization, same utf-8 output
     import orjson as _orjson
 
@@ -126,6 +144,7 @@ def _fallback_index(crb: CompiledRulebase):
 
 
 _DISPATCH_MAX_DEPTH = 16  # leading-literal chars indexed per rule
+_FB_MEMO_MAX = 65536  # cross-batch unmatched-diagnostics memo entries
 
 
 def _cohort_dispatch(crb: CompiledRulebase):
@@ -239,15 +258,15 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     template)."""
     n = len(texts)
     tvals = texts.to_numpy(dtype=object)
-    # plain lists: scalar assignment is ~3x cheaper than numpy setitem
+    # plain lists: scalar assignment is ~3x cheaper than numpy setitem.
+    # tags/rb_file/rb_line are per-rule CONSTANTS — they are not stored per
+    # row in the hot loop but reconstructed at the end from rule_id via one
+    # C-level map() pass per column.
     rule_id: list = [-1] * n
-    tags: list = [None] * n
     fields_json: list = [None] * n
     unparsed: list = [None] * n
     originalmsg: list = [None] * n
     parsed_to: list = [0] * n
-    rb_file: list = [None] * n
-    rb_line: list = [0] * n
 
     notna = texts.notna().to_numpy()
     remaining = notna.copy()
@@ -256,7 +275,12 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     annots = crb.annotations
 
     from liblognorm_spark.compiler.compiler import MatchCohort
-    from liblognorm_spark.runtime.walker import WalkState, walk_seq
+    from liblognorm_spark.runtime.walker import (
+        WalkState,
+        flat_items,
+        walk_flat,
+        walk_seq,
+    )
 
     def _decorate(ev, rule, t):
         """Shared option-driven event decoration — ONE definition so the
@@ -276,77 +300,125 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
                 meta["exec-path"] = _exec_path_of(crb, rule)
             ev["metadata"] = meta
 
+    # per-row decoration is option-gated; the no-options hot path skips the
+    # _decorate call entirely
+    decorate_needed = (add_originalmsg or add_rule_location or add_rule_mockup
+                       or add_exec_path)
+
     def _record(pos, cr, ev, t):
-        _finalize_event(crb, cr, ev)
-        _decorate(ev, cr.rule, t)
+        if cr.extra_fields:
+            ev.update(cr.extra_fields)
+        if decorate_needed:
+            _decorate(ev, cr.rule, t)
         rule_id[pos] = cr.rule_id
-        tags[pos] = list(cr.tags)
         fields_json[pos] = _dumps(ev)
         parsed_to[pos] = len(t)
-        rb_file[pos] = cr.rule.rb_file
-        rb_line[pos] = cr.rule.rb_line
         remaining[pos] = False
 
-    # route rows to prefix-compatible cohorts (one trie descent per row)
-    # instead of scanning every cohort pattern sequentially
+    # route rows to prefix-compatible cohorts instead of scanning every
+    # cohort pattern sequentially.  The dispatch result depends only on the
+    # first _DISPATCH_MAX_DEPTH chars, and log streams repeat those heavily
+    # (program/host prefixes), so the trie descends once per DISTINCT
+    # prefix (factorize groups rows C-side) rather than once per row.
     dispatch, wild_cohorts = _cohort_dispatch(crb)
     cand_rows: dict[int, list] = {}
-    for pos in np.flatnonzero(notna):
-        for ci in dispatch(tvals[pos]):
-            cand_rows.setdefault(ci, []).append(pos)
+    notna_idx = np.flatnonzero(notna)
+    if len(notna_idx):
+        keys = np.array([t[:_DISPATCH_MAX_DEPTH] for t in tvals[notna_idx]],
+                        dtype=object)
+        codes, _uniques = pd.factorize(keys)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+        for chunk in np.split(notna_idx[order], bounds):
+            # one trie descent per distinct prefix (chunk[0] carries it)
+            for ci in dispatch(tvals[chunk[0]]):
+                cand_rows.setdefault(ci, []).append(chunk)
 
     for ci, cohort in enumerate(crb.cohorts):
         if not remaining.any():
             break
         if isinstance(cohort, MatchCohort):
             if ci in wild_cohorts:
-                idxs = np.flatnonzero(remaining)
+                idxs = np.flatnonzero(remaining).tolist()
             else:
-                idxs = [p for p in cand_rows.get(ci, ()) if remaining[p]]
+                parts = cand_rows.get(ci)
+                if not parts:
+                    continue
+                idxs = np.concatenate(parts)
+                # tolist(): the row loop below indexes python lists per row,
+                # and np.int64 positions pay a conversion on every access
+                idxs = idxs[remaining[idxs]].tolist()
             # one anchored fullmatch per row against the trie-factored
-            # pattern for the whole cohort
+            # pattern for the whole cohort; the record is inlined (the
+            # _record call itself was measurable at matched-heavy batches)
             fullmatch = cohort.pattern.fullmatch
             plan_for = cohort.plan_for
+            marker_get = cohort.by_marker.get
+            # per-row constants hoisted to locals (global/attribute lookups
+            # cost real time at 20k+ rows per batch)
+            dumps = _dumps
+            not_part = _NOT_PART
+            attach_ = attach
+            # numpy bool setitem per row is measurable; batch the flips
+            # (correct because a pos appears at most once per cohort's idxs,
+            # and `remaining` is only read again by LATER cohorts)
+            done_here: list = []
+            done_add = done_here.append
             for pos in idxs:
                 t = tvals[pos]
                 m = fullmatch(t)
                 if m is None:
                     continue
-                plan = plan_for(m)
+                # lastindex IS the rule marker in the common case; plan_for
+                # keeps the safety-net scan for exotic matches
+                plan = marker_get(m.lastindex) or plan_for(m)
                 cr = plan.cr
                 try:
                     ev: dict = {}
-                    # reversed: leftmost parser attaches last and wins on
+                    # *_rev: leftmost parser attaches last and wins on
                     # duplicate names (bottom-up fixJSON, src/pdag.c:1584)
                     if plan.has_complex:
-                        for fs in reversed(plan.specs):
+                        for fs in plan.specs_rev:
                             v = fs.extract(m, t, types)
-                            if v is _NOT_PART:
+                            if v is not_part:
                                 continue
-                            attach(ev, fs.name, v)
+                            attach_(ev, fs.name, v)
                     else:  # fast path: all captures are plain strings
                         group = m.group
-                        for gname, name in reversed(plan.simple):
-                            v = group(gname)
+                        for gi, name in plan.simple_rev:
+                            v = group(gi)
                             if v is not None:
                                 ev[name] = v
                 except Reject:
                     need_walker[pos] = True
-                    remaining[pos] = False
+                    done_add(pos)
                     continue
-                _record(pos, cr, ev, t)
+                if cr.extra_fields:
+                    ev.update(cr.extra_fields)
+                if decorate_needed:
+                    _decorate(ev, cr.rule, t)
+                rule_id[pos] = cr.rule_id
+                fields_json[pos] = dumps(ev)
+                parsed_to[pos] = len(t)
+                done_add(pos)
+            if done_here:
+                remaining[done_here] = False
         else:
             cr = cohort  # walker-only rule: exact per-row match
             if cr.prefilter:
                 pref = texts.str.startswith(cr.prefilter, na=False).to_numpy()
-                idxs = np.flatnonzero(remaining & pref)
+                idxs = np.flatnonzero(remaining & pref).tolist()
             else:
-                idxs = np.flatnonzero(remaining)
+                idxs = np.flatnonzero(remaining).tolist()
+            flat = flat_items(cr.rule)
             for pos in idxs:
                 t = tvals[pos]
                 st = WalkState(text=t, strlen=len(t), types=types)
                 ev = {}
-                if walk_seq(st, cr.rule.seq, 0, 0, False, ev, None):
+                ok = (walk_flat(st, flat, ev) if flat is not None
+                      else walk_seq(st, cr.rule.seq, 0, 0, False, ev, None))
+                if ok:
                     _record(pos, cr, ev, t)
 
     # slow path: unmatched rows + validation rejects -> exact walker over
@@ -354,36 +426,60 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     # possibly match); the pruned rules' partial-literal parsedTo credit is
     # carried over from the trie descent depth
     index = _fallback_index(crb)
-    for pos in np.flatnonzero(remaining | need_walker):
+    # memoized by FULL text: the result is a pure function of the text
+    # (same rulebase), and log streams repeat unparsed lines heavily — a
+    # malformed heartbeat repeats for hours — so identical rows pay one
+    # dict hit instead of a re-walk.  The no-options path (the Spark hot
+    # path) keeps the memo across batches on the compiled rulebase, size-
+    # capped; option-bearing calls memoize per batch (the options change
+    # the emitted event).
+    if decorate_needed:
+        fb_memo: dict = {}
+    else:
+        fb_memo = getattr(crb, "_fb_memo", None)
+        if fb_memo is None:
+            fb_memo = crb._fb_memo = {}
+    fb_room = _FB_MEMO_MAX - len(fb_memo)
+    for pos in np.flatnonzero(remaining | need_walker).tolist():
         t = tvals[pos]
-        cand_rules, lit_credit = index(t)
-        rule, ev, pto = normalize_message(
-            cand_rules, t, crb.types, crb.annotations, initial_parsed_to=lit_credit,
-            v1_engine=crb.version == 1,
-        )
+        res = fb_memo.get(t)
+        if res is None:
+            cand_rules, lit_credit = index(t)
+            rule, ev, pto = normalize_message(
+                cand_rules, t, crb.types, crb.annotations,
+                initial_parsed_to=lit_credit, v1_engine=crb.version == 1,
+            )
+            if rule is None:
+                res = (-1, _dumps(ev), ev["unparsed-data"], ev["originalmsg"], pto)
+            else:
+                if decorate_needed:
+                    _decorate(ev, rule, t)
+                res = (rule.rule_id, _dumps(ev), None, None, pto)
+            if fb_room > 0:
+                fb_memo[t] = res
+                fb_room -= 1
+        rid, fj, up, om, pto = res
         parsed_to[pos] = pto
-        if rule is None:
-            unparsed[pos] = ev["unparsed-data"]
-            originalmsg[pos] = ev["originalmsg"]
-            fields_json[pos] = _dumps(ev)
+        fields_json[pos] = fj
+        if rid >= 0:
+            rule_id[pos] = rid
         else:
-            _decorate(ev, rule, t)
-            rule_id[pos] = rule.rule_id
-            tags[pos] = list(rule.tags)
-            fields_json[pos] = _dumps(ev)
-            rb_file[pos] = rule.rb_file
-            rb_line[pos] = rule.rb_line
+            unparsed[pos] = up
+            originalmsg[pos] = om
 
+    # per-rule constant columns, one C-level map() pass each (rule_id -1 ->
+    # the unmatched defaults)
+    tmap, fmap, lmap = _rule_meta(crb)
     return pd.DataFrame(
         {
             "rule_id": pd.array(rule_id, dtype="int32"),
-            "tags": tags,
+            "tags": list(map(tmap.__getitem__, rule_id)),
             "fields_json": fields_json,
             "unparsed_data": unparsed,
             "originalmsg": originalmsg,
             "parsed_to": pd.array(parsed_to, dtype="int32"),
-            "rb_file": rb_file,
-            "rb_line": pd.array(rb_line, dtype="int32"),
+            "rb_file": list(map(fmap.__getitem__, rule_id)),
+            "rb_line": pd.array(list(map(lmap.__getitem__, rule_id)), dtype="int32"),
         }
     )
 
@@ -456,7 +552,11 @@ def normalize_df(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):
             .withColumn("rb_file", F.lit(None).cast("string"))
             .withColumn("rb_line", F.lit(None).cast("int"))
         )
-    return out
+    # canonical column order is part of the API: input columns first, then
+    # the MATCH_FIELDS_DDL order — identical to normalize_df_mapinpandas,
+    # so positional consumers can switch between the two implementations
+    match_cols = [p.split()[0] for p in MATCH_FIELDS_DDL.split(", ")]
+    return out.select(*df.columns, *match_cols)
 
 
 def normalize_df_mapinpandas(df, rb: Rulebase | CompiledRulebase, text_col: str = "text"):

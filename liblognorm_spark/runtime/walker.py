@@ -22,12 +22,17 @@ from liblognorm_spark.compiler.motifs import NO_VALUE, PARSERS, coerce_value
 from liblognorm_spark.rulebase.loader import Alt, PNode, Rule
 
 
-@dataclass
 class WalkState:
-    text: str
-    strlen: int
-    types: dict  # typename -> list[Seq]
-    parsed_to: int = 0
+    """Mutable per-message walk state (slots: created once per fallback row,
+    so construction cost is on the hot diagnostics path)."""
+
+    __slots__ = ("text", "strlen", "types", "parsed_to")
+
+    def __init__(self, text: str, strlen: int, types: dict, parsed_to: int = 0):
+        self.text = text
+        self.strlen = strlen
+        self.types = types  # typename -> list[Seq]
+        self.parsed_to = parsed_to
 
 
 def attach(json: dict, name, value) -> None:
@@ -271,6 +276,85 @@ def walk_seq(state: WalkState, seq, idx, offs, partial, json, cont) -> bool:
     return sub
 
 
+_FLAT_UNSET = object()
+
+
+def flat_items(rule):
+    """Compile an Alt-free rule whose parsers are all plain (text, offs,
+    params) functions — no ``custom``/``repeat``, which mutate
+    ``state.parsed_to`` — into a flat tuple list for the iterative walk.
+    Returns None (and caches the answer) when the rule needs the recursive
+    walker.  The overwhelmingly common rule shape (literal/motif chains
+    with no alternatives) takes this path."""
+    flat = getattr(rule, "_flat_cache", _FLAT_UNSET)
+    if flat is not _FLAT_UNSET:
+        return flat
+    items = []
+    for item in rule.seq:
+        if (not isinstance(item, PNode) or item.ptype in ("custom", "repeat")
+                or item.ptype not in PARSERS):
+            rule._flat_cache = None
+            return None
+        # uniform shape (fn, lit, params, name, ptype, node, needs_coerce);
+        # literals get fn=None so the walk inlines them as str.startswith
+        if item.ptype == "literal":
+            items.append((None, item.params["text"], item.params,
+                          item.name, item.ptype, item, False))
+        else:
+            needs_coerce = (item.params.get("format") == "number"
+                            and item.ptype in ("number", "hexnumber", "float"))
+            items.append((PARSERS[item.ptype], None, item.params,
+                          item.name, item.ptype, item, needs_coerce))
+    rule._flat_cache = items
+    return items
+
+
+def walk_flat(state: WalkState, items, json_out: dict | None) -> bool:
+    """Iterative equivalent of :func:`walk_seq` for :func:`flat_items`
+    rules: same parsedTo bookkeeping (deepest successful offset, post-hoc
+    per-char literal credit on the failing item), same bottom-up attach
+    order (leftmost parser wins on duplicate names).  Exists purely for
+    speed on the walker fallback path — ``tests/test_property_motifs.py``
+    fuzzes its observational equality against the recursive walk."""
+    text = state.text
+    offs = 0
+    pairs = None
+    for fn, lit, params, name, ptype, node, needs_coerce in items:
+        if fn is None:  # literal: C-speed prefix compare
+            if text.startswith(lit, offs):
+                if name is not None and json_out is not None:
+                    if pairs is None:
+                        pairs = []
+                    pairs.append((name, lit))
+                offs += len(lit)
+                continue
+            if offs > state.parsed_to:
+                state.parsed_to = offs
+            _literal_partial_credit(state, node, offs)
+            return False
+        res = fn(text, offs, params)
+        if res is None:
+            if offs > state.parsed_to:
+                state.parsed_to = offs
+            return False
+        consumed, value = res
+        if name is not None and json_out is not None:
+            if pairs is None:
+                pairs = []
+            if needs_coerce:
+                value = coerce_value(ptype, value, params)
+            pairs.append((name, value))
+        offs += consumed
+    if offs > state.parsed_to:
+        state.parsed_to = offs
+    if offs != state.strlen:
+        return False
+    if pairs is not None:
+        for name, value in reversed(pairs):
+            attach(json_out, name, value)
+    return True
+
+
 def match_rule(rule: Rule, text: str, types: dict, state: WalkState | None = None):
     """Try one rule against `text`.  Returns fields dict or None.
 
@@ -327,7 +411,10 @@ def normalize_message(rules, text: str, types: dict, annotations=None,
             continue
         fields: dict = {}
         pto_before = state.parsed_to
-        if walk_seq(state, rule.seq, 0, 0, False, fields, None):
+        flat = flat_items(rule)
+        ok = (walk_flat(state, flat, fields) if flat is not None
+              else walk_seq(state, rule.seq, 0, 0, False, fields, None))
+        if ok:
             event = dict(fields)
             if rule.tags:
                 event["event.tags"] = list(rule.tags)

@@ -33,6 +33,17 @@ def test_float_lone_minus_and_dot():
     assert run1("version=2\nrule=:%f:float%.3!", "1.2.3!")["f"] == "1.2"
 
 
+def test_float_format_number_degenerate():
+    """format:number on the degenerate C-quirk floats: the reference
+    accumulates digits into a double (parser.c:893-930), so lone '-'/'.'
+    coerce to (-)0.0 instead of crashing (deep-fuzz find, round 3)."""
+    rb = 'version=2\nrule=:%f:float{"format":"number"}%!'
+    assert run1(rb, "-!")["f"] == 0.0 and str(run1(rb, "-!")["f"]) == "-0.0"
+    assert run1(rb, ".!")["f"] == 0.0
+    assert run1(rb, "-.5!")["f"] == -0.5
+    assert run1(rb, "12.25!")["f"] == 12.25
+
+
 def test_rest_matches_empty():
     # parser.c:1579-1593 + doc deviation: rest always succeeds, even empty
     assert run1("version=2\nrule=:a%r:rest%", "a")["r"] == ""

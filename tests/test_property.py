@@ -4,8 +4,10 @@ semantics; the regex path is an optimization that must be observationally
 identical)."""
 
 import json
+import os
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from liblognorm_spark.compiler.compiler import compile_rulebase
@@ -13,6 +15,10 @@ from liblognorm_spark.pipeline.fixture_rulebase import routing_rulebase
 from liblognorm_spark.rulebase.loader import Rulebase
 from liblognorm_spark.runtime.matcher import match_batch
 from liblognorm_spark.runtime.walker import normalize_message
+
+# part of the `pytest -m fuzz` regression sweep (see README / pytest.ini)
+pytestmark = pytest.mark.fuzz
+FUZZ_SCALE = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1")))
 
 RULEBASES = [
     routing_rulebase(),
@@ -101,7 +107,7 @@ log_text = st.one_of(
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300 * FUZZ_SCALE, deadline=None)
 @given(idx=st.integers(0, len(COMPILED) - 1), text=log_text)
 def test_fast_path_equals_walker(idx, text):
     rb_text, crb = COMPILED[idx]

@@ -5,14 +5,22 @@ exactly where a superset/subset fragment bug would hide (range checks,
 EOS quirks, delimiter lookaheads)."""
 
 import json
+import os
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from liblognorm_spark.compiler.compiler import compile_rulebase
 from liblognorm_spark.rulebase.loader import Rulebase
 from liblognorm_spark.runtime.matcher import match_batch
 from liblognorm_spark.runtime.walker import normalize_message
+
+# regression-fuzz infrastructure (found 5 real divergences in round 2):
+# `pytest -m fuzz` runs these at the CI budget below; a deep campaign
+# multiplies every budget via SPARK_GRAFT_FUZZ_SCALE (see README)
+pytestmark = pytest.mark.fuzz
+FUZZ_SCALE = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1")))
 
 # (motif rule body, generator of valid-ish field text)
 d2 = st.integers(0, 99).map(lambda n: f"{n:02d}")
@@ -127,7 +135,7 @@ def case_strategy(gen):
     ).map(_corrupt)
 
 
-@settings(max_examples=500, deadline=None)
+@settings(max_examples=500 * FUZZ_SCALE, deadline=None)
 @given(idx=st.integers(0, len(COMPILED) - 1), data=st.data())
 def test_motif_fast_path_equals_walker(idx, data):
     body, crb, gen = COMPILED[idx]
@@ -157,7 +165,42 @@ rb_line = st.one_of(
 )
 
 
-@settings(max_examples=400, deadline=None)
+@settings(max_examples=500 * FUZZ_SCALE, deadline=None)
+@given(idx=st.integers(0, len(COMPILED) - 1), data=st.data())
+def test_flat_walk_equals_recursive_walk(idx, data):
+    """The iterative flat walk (walker.walk_flat, the fallback-path speed
+    optimization) must be observationally identical to the recursive
+    reference-semantics walk on every flat rule: same accept/reject, same
+    fields, same parsedTo diagnostics."""
+    from liblognorm_spark.runtime.walker import (
+        WalkState,
+        flat_items,
+        walk_flat,
+        walk_seq,
+    )
+
+    body, crb, gen = COMPILED[idx]
+    field = data.draw(case_strategy(gen))
+    text = data.draw(st.sampled_from([f"{field} tail", field, f"{field} "]))
+    for rule in crb.ordered_rules:
+        flat = flat_items(rule)
+        if flat is None:  # rule needs the recursive walker anyway
+            continue
+        s1 = WalkState(text=text, strlen=len(text), types=crb.types)
+        s2 = WalkState(text=text, strlen=len(text), types=crb.types)
+        ev1: dict = {}
+        ev2: dict = {}
+        ok1 = walk_flat(s1, flat, ev1)
+        ok2 = walk_seq(s2, rule.seq, 0, 0, False, ev2, None)
+        assert ok1 == ok2, f"{body}: accept mismatch for {text!r}"
+        assert s1.parsed_to == s2.parsed_to, (
+            f"{body}: parsedTo mismatch for {text!r}: flat={s1.parsed_to} rec={s2.parsed_to}"
+        )
+        if ok1:
+            assert ev1 == ev2, f"{body}: fields mismatch for {text!r}:\n flat={ev1}\n rec={ev2}"
+
+
+@settings(max_examples=400 * FUZZ_SCALE, deadline=None)
 @given(lines=st.lists(rb_line, min_size=1, max_size=6), data=st.data())
 def test_loader_never_crashes(lines, data):
     """Arbitrary rulebase text must load without raising — bad rules turn
@@ -184,7 +227,7 @@ json_value = st.recursive(
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300 * FUZZ_SCALE, deadline=None)
 @given(event=st.dictionaries(st.text(max_size=8), json_value, max_size=5))
 def test_encoders_never_crash(event):
     """Every encoder must serialize arbitrary event shapes (nested maps,
@@ -216,7 +259,7 @@ def test_cli_flag_combos_never_traceback(tmp_path):
              ["-H"], ["-T"], ["-t", "zzz"], ["-U"], ["-L"], ["-S"], ["-s"],
              ["-o", "bogusOpt"], ["-r", "/nonexistent"], ["--bogus"]]
     rng = random.Random(11)
-    for _ in range(20):
+    for _ in range(20 * FUZZ_SCALE):
         argv = [sys.executable, "-m", "liblognorm_spark.cli"]
         for fl in rng.sample(flags, rng.randrange(1, 3)):
             argv += fl
@@ -246,7 +289,7 @@ def test_corpus_mutation_differential():
             muts = []
             for s in (step["input"] for step in case["steps"]):
                 muts.append(s)
-                for _ in range(3):
+                for _ in range(3 * FUZZ_SCALE):
                     if not s:
                         continue
                     p = rng.randrange(len(s))

@@ -52,9 +52,12 @@ def main():
         crb = compile_rulebase(Rulebase.from_string(build_rulebase(n)))
         texts = build_workload(n)
         match_batch(crb, texts.head(500))  # warm
-        t0 = time.perf_counter()
-        out = match_batch(crb, texts)
-        dt = time.perf_counter() - t0
+        dt = None  # best-of-3: this host has multi-x run-to-run noise
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = match_batch(crb, texts)
+            d = time.perf_counter() - t0
+            dt = d if dt is None else min(dt, d)
         unparsed = int(out["unparsed_data"].notna().sum())
         print(
             f"rules={n:5d} rows={len(texts)} wall={dt:6.2f}s "
