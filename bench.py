@@ -211,18 +211,18 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
     variance from shared-host noise).
 
     ``full=False`` (the default-on per-round mode) times only the clean
-    1-vs-4-core pair at 2.4M docs with best-of-2 — enough to evidence the
-    north rule's >=0.8 N->4N criterion without multiplying the bench wall
-    time; ``full=True`` (--scaling) runs the 4-level curve at 4.8M docs
-    best-of-4 (the BASELINE.md protocol)."""
+    1-vs-4-core pair; ``full=True`` (--scaling) adds the cpus/4 and cpus
+    levels.  Both use the BASELINE.md protocol (4.8M docs, best-of-4):
+    smaller inputs inflate the fixed per-run overhead's share of the
+    4-core time and depress the ratio by ~0.05-0.1 (measured: 2.4M gives
+    eff 0.78 in the same window where 4.8M gives 0.79-0.86)."""
     import subprocess
     import tempfile
 
     from liblognorm_spark.pipeline.pages import pages_df_n
 
-    default_docs = "4800000" if full else "2400000"
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", default_docs))
-    reps = 4 if full else 2
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "4800000"))
+    reps = 4
     src = os.path.join(tempfile.gettempdir(), f"lls_scale_{n}")
     if not os.path.exists(src):
         pages_df_n(spark, n).write.mode("overwrite").parquet(src)

@@ -153,7 +153,9 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id",
             ]),
         )
         return (
-            df.select(F.col(id_col), _word_shingles(F.col(text_col)).alias("_sh"))
+            _spread(df)  # small parquet inputs arrive in 1-2 partitions;
+            # the fold is CPU-bound per row, so spread it across cores
+            .select(F.col(id_col), _word_shingles(F.col(text_col)).alias("_sh"))
             .select(F.col(id_col), acc_fold.alias("minhash"))
         )
     sh = _spread(df).select(

@@ -105,6 +105,15 @@ def _seq_prio_key(seq):
     return seq[0].prio if seq else (30000 << 8) | 16
 
 
+def _sorted_alts(item: Alt):
+    """Priority-sorted alternative branches, cached on the Alt node (the
+    sort is stable in rule order and the node is immutable after load)."""
+    cached = getattr(item, "_sorted_cache", None)
+    if cached is None:
+        cached = item._sorted_cache = sorted(item.alts, key=_seq_prio_key)
+    return cached
+
+
 def _merge_key(item: PNode):
     """Parsers merge in the PDAG when fully identical (parser, data, name);
     literals merge PER CHARACTER (ln_pdagAddParser splits literal chains),
@@ -136,7 +145,7 @@ def _walk_merged(state: WalkState, branches, offs: int, json_out: dict) -> bool:
             continue
         item = seq[idx]
         if isinstance(item, Alt):
-            for alt_seq in sorted(item.alts, key=_seq_prio_key):
+            for alt_seq in _sorted_alts(item):
                 _merged_add(groups, order, (alt_seq, 0, (seq, idx + 1, cont)))
             continue
         _merged_add(groups, order, (seq, idx, cont))
@@ -257,7 +266,7 @@ def walk_seq(state: WalkState, seq, idx, offs, partial, json, cont) -> bool:
     item = seq[idx]
     if isinstance(item, Alt):
         new_cont = (seq, idx + 1, cont)
-        for alt_seq in sorted(item.alts, key=_seq_prio_key):
+        for alt_seq in _sorted_alts(item):
             if walk_seq(state, alt_seq, 0, offs, partial, json, new_cont):
                 return True
         return False
