@@ -65,10 +65,15 @@ def _run_pipeline_once(spark, sf_dir, n_docs_override=None):
         if pages is None:
             from pyspark import StorageLevel
 
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
             pages = spark.read.parquet(_materialize_pages(spark, n_docs_override))
             # memory-cache the input: the timed path measures the engine,
-            # not this sandbox's erratic shared-host disk
-            pages = pages.persist(StorageLevel.MEMORY_ONLY)
+            # not this sandbox's erratic shared-host disk.  repartition to
+            # 3-4 tasks/core BEFORE caching (same protocol as the scaling
+            # children) — the parquet file's own split count otherwise
+            # under-parallelizes the match stage and the headline measures
+            # stragglers, not the engine
+            pages = pages.repartition(cpus * 4).persist(StorageLevel.MEMORY_ONLY)
             pages.count()
             _pages_cache[n_docs_override] = pages
     else:
