@@ -239,3 +239,39 @@ def test_cohort_keeps_custom_fragment_after_walker_only_rule():
     out = match_batch(crb, pd.Series(
         ["a pid[47119 b", "a pid[47119] b", "a pid[47119]: b"], dtype=object))
     assert [int(x) for x in out["rule_id"]] == [-1, 0, 0]
+
+
+def test_fallback_memo_batches_and_options():
+    """The cross-batch unmatched-diagnostics memo (matcher._FB_MEMO_MAX)
+    must be invisible: repeated batches give identical results, and
+    option-bearing calls (which decorate the event) must NOT read or
+    poison the no-options cache."""
+    import pandas as pd
+
+    from liblognorm_spark.compiler.compiler import compile_rulebase
+    from liblognorm_spark.rulebase.loader import Rulebase
+    from liblognorm_spark.runtime.matcher import match_batch
+
+    crb = compile_rulebase(Rulebase.from_string(
+        "version=2\nrule=t:prog[%pid:number%] ok\n"))
+    texts = pd.Series(["prog[1] ok", "prog[x] nope", "junk", "prog[x] nope"],
+                      dtype=object)
+    a = match_batch(crb, texts)           # cold: memo populated
+    b = match_batch(crb, texts)           # warm: served from memo
+    pd.testing.assert_frame_equal(a, b)
+    assert a["unparsed_data"][1] == a["unparsed_data"][3] == "x] nope"
+    assert a["originalmsg"][2] == "junk"
+
+    # options path decorates the matched event; a fallback-matched row
+    # must get the decoration even though the plain row was cached above
+    crb2 = compile_rulebase(Rulebase.from_string(
+        "version=2\nrule=t:%f:json%\n"))  # walker-only motif -> fallback
+    t2 = pd.Series(['{"a": 1}'], dtype=object)
+    plain = match_batch(crb2, t2)
+    import json as J
+    assert "metadata" not in J.loads(plain["fields_json"][0])
+    deco = match_batch(crb2, t2, add_rule_location=True)
+    assert J.loads(deco["fields_json"][0])["metadata"]["rule"]["location"]["line"] == 2
+    # and the decorated call did not poison the shared no-options memo
+    plain2 = match_batch(crb2, t2)
+    assert "metadata" not in J.loads(plain2["fields_json"][0])
