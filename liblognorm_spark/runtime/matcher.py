@@ -144,7 +144,11 @@ def _fallback_index(crb: CompiledRulebase):
 
 
 _DISPATCH_MAX_DEPTH = 16  # leading-literal chars indexed per rule
-_FB_MEMO_MAX = 65536  # cross-batch unmatched-diagnostics memo entries
+# cross-batch unmatched-diagnostics memo bounds: entry count AND total key
+# bytes (webtext rows can be multi-KB; a count-only cap could hold
+# hundreds of MB per worker)
+_FB_MEMO_MAX = 65536
+_FB_MEMO_MAX_BYTES = 32 << 20
 
 
 def _cohort_dispatch(crb: CompiledRulebase):
@@ -435,10 +439,13 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     # the emitted event).
     if decorate_needed:
         fb_memo: dict = {}
+        fb_bytes = 0
     else:
         fb_memo = getattr(crb, "_fb_memo", None)
         if fb_memo is None:
             fb_memo = crb._fb_memo = {}
+            crb._fb_memo_bytes = 0
+        fb_bytes = crb._fb_memo_bytes
     fb_room = _FB_MEMO_MAX - len(fb_memo)
     for pos in np.flatnonzero(remaining | need_walker).tolist():
         t = tvals[pos]
@@ -455,9 +462,10 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
                 if decorate_needed:
                     _decorate(ev, rule, t)
                 res = (rule.rule_id, _dumps(ev), None, None, pto)
-            if fb_room > 0:
+            if fb_room > 0 and fb_bytes + len(t) <= _FB_MEMO_MAX_BYTES:
                 fb_memo[t] = res
                 fb_room -= 1
+                fb_bytes += len(t)
         rid, fj, up, om, pto = res
         parsed_to[pos] = pto
         fields_json[pos] = fj
@@ -466,6 +474,8 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
         else:
             unparsed[pos] = up
             originalmsg[pos] = om
+    if not decorate_needed:
+        crb._fb_memo_bytes = fb_bytes
 
     # per-rule constant columns, one C-level map() pass each (rule_id -1 ->
     # the unmatched defaults)
