@@ -568,6 +568,12 @@ class MatchCohort:
         for plan in plans.values():
             plan.simple_rev = tuple((gidx[g], nm) for g, nm in reversed(plan.simple))
             plan.specs_rev = tuple(reversed(plan.specs))
+            # flatten the per-row property/attribute chains out of the
+            # matcher hot loop (cr.rule_id is a property; cr.rule.* is a
+            # 2-hop chain — both measurable at 20k+ matched rows per batch)
+            plan.rule_id = plan.cr.rule_id
+            plan.extra_fields = plan.cr.extra_fields
+            plan.rule = plan.cr.rule
         return self
 
     def plan_for(self, m: re.Match):

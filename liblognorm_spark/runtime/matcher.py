@@ -149,6 +149,7 @@ _DISPATCH_MAX_DEPTH = 16  # leading-literal chars indexed per rule
 # hundreds of MB per worker)
 _FB_MEMO_MAX = 65536
 _FB_MEMO_MAX_BYTES = 32 << 20
+_EMPTY_SET: frozenset = frozenset()
 
 
 def _cohort_dispatch(crb: CompiledRulebase):
@@ -192,18 +193,29 @@ def _cohort_dispatch(crb: CompiledRulebase):
                 node = node.setdefault(ch, {})
             node.setdefault("\0c", set()).add(ci)
 
+    # propagate cumulative candidate sets down the trie so a descent does
+    # ZERO set unions — each node stores the union over its whole path
+    # (ancestor sets are shared objects when a node adds nothing new)
+    def _propagate(node: dict, inherited: frozenset):
+        own = node.get("\0c")
+        cum = (inherited | own) if own else inherited
+        node["\0cum"] = cum
+        for k, child in node.items():
+            if k not in ("\0c", "\0cum"):
+                _propagate(child, cum)
+
+    _propagate(root, frozenset())
+
     def dispatch(text: str):
         """Cohort positions whose rule literals prefix `text` (unsorted)."""
-        found = None
         node = root
+        cum = _EMPTY_SET
         for ch in text[:_DISPATCH_MAX_DEPTH]:
             node = node.get(ch)
             if node is None:
                 break
-            cs = node.get("\0c")
-            if cs:
-                found = cs if found is None else found | cs
-        return found or ()
+            cum = node["\0cum"]
+        return cum
 
     crb._dispatch = (dispatch, frozenset(wildcard))
     return crb._dispatch
@@ -330,13 +342,18 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     if len(notna_idx):
         keys = np.array([t[:_DISPATCH_MAX_DEPTH] for t in tvals[notna_idx]],
                         dtype=object)
-        codes, _uniques = pd.factorize(keys)
+        codes, uniques = pd.factorize(keys)
         order = np.argsort(codes, kind="stable")
-        sorted_codes = codes[order]
-        bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
-        for chunk in np.split(notna_idx[order], bounds):
-            # one trie descent per distinct prefix (chunk[0] carries it)
-            for ci in dispatch(tvals[chunk[0]]):
+        sorted_idx = notna_idx[order]
+        counts = np.bincount(codes, minlength=len(uniques))
+        start = 0
+        # one trie descent per distinct prefix; plain slices of the sorted
+        # index (np.split's per-chunk machinery was measurable at many
+        # thousands of distinct prefixes)
+        for k, cnt in enumerate(counts.tolist()):
+            chunk = sorted_idx[start:start + cnt]
+            start += cnt
+            for ci in dispatch(uniques[k]):
                 cand_rows.setdefault(ci, []).append(chunk)
 
     for ci, cohort in enumerate(crb.cohorts):
@@ -377,7 +394,6 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
                 # lastindex IS the rule marker in the common case; plan_for
                 # keeps the safety-net scan for exotic matches
                 plan = marker_get(m.lastindex) or plan_for(m)
-                cr = plan.cr
                 try:
                     ev: dict = {}
                     # *_rev: leftmost parser attaches last and wins on
@@ -398,11 +414,11 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
                     need_walker[pos] = True
                     done_add(pos)
                     continue
-                if cr.extra_fields:
-                    ev.update(cr.extra_fields)
+                if plan.extra_fields:
+                    ev.update(plan.extra_fields)
                 if decorate_needed:
-                    _decorate(ev, cr.rule, t)
-                rule_id[pos] = cr.rule_id
+                    _decorate(ev, plan.rule, t)
+                rule_id[pos] = plan.rule_id
                 fields_json[pos] = dumps(ev)
                 parsed_to[pos] = len(t)
                 done_add(pos)

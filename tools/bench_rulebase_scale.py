@@ -35,11 +35,11 @@ def build_rulebase(n_rules: int) -> str:
     return "\n".join(lines) + "\n"
 
 
-def build_workload(n_rules: int, n_rows: int = N_ROWS) -> pd.Series:
+def build_workload(n_rules: int, n_rows: int = N_ROWS, all_match: bool = False) -> pd.Series:
     rows = []
     for j in range(n_rows):
         i = (j * 7919) % n_rules
-        if j % 5 == 0:  # near-miss: right prefix, bad ip -> unparsed
+        if not all_match and j % 5 == 0:  # near-miss: right prefix, bad ip -> unparsed
             rows.append(f"prog{i}[123]: action login from 10.0.0.999")
         else:
             rows.append(f"prog{i}[123]: action login from 10.0.0.{j % 200}")
@@ -47,10 +47,12 @@ def build_workload(n_rules: int, n_rows: int = N_ROWS) -> pd.Series:
 
 
 def main():
-    sizes = [int(s) for s in sys.argv[1:]] or [8, 128, 512, 2048]
+    args = [a for a in sys.argv[1:] if a != "--all-match"]
+    all_match = "--all-match" in sys.argv  # pure matched-row workload
+    sizes = [int(s) for s in args] or [8, 128, 512, 2048]
     for n in sizes:
         crb = compile_rulebase(Rulebase.from_string(build_rulebase(n)))
-        texts = build_workload(n)
+        texts = build_workload(n, all_match=all_match)
         match_batch(crb, texts.head(500))  # warm
         dt = None  # best-of-3: this host has multi-x run-to-run noise
         for _ in range(3):
