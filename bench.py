@@ -170,6 +170,10 @@ def main():
         "sf": sf,
         "n_docs": n_docs,
         "cpus": cpus,
+        # host-contention context: this sandbox shows 2-4x run-to-run noise
+        # (BASELINE.md); a high load average here means the numbers measured
+        # a congested window, not the engine
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
 
     if do_scaling:
