@@ -108,6 +108,7 @@ def main():
     full_scaling = scaling_env == "1" or "--scaling" in sys.argv
     do_scaling = full_scaling or scaling_env != "0"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_at_start = round(os.getloadavg()[0], 2)
 
     import __spark_entry__ as E
 
@@ -170,10 +171,10 @@ def main():
         "sf": sf,
         "n_docs": n_docs,
         "cpus": cpus,
-        # host-contention context: this sandbox shows 2-4x run-to-run noise
-        # (BASELINE.md); a high load average here means the numbers measured
-        # a congested window, not the engine
-        "load_avg_1m": round(os.getloadavg()[0], 2),
+        # host-contention context, sampled BEFORE any work: this sandbox
+        # shows 2-4x run-to-run noise (BASELINE.md); a high starting load
+        # means the numbers measured a congested window, not the engine
+        "load_avg_1m_at_start": load_at_start,
     }
 
     if do_scaling:
