@@ -628,6 +628,26 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs).filter(F.col("est_jaccard_millis") >= 500)
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Cross-doc boilerplate word-3-grams (>= 50 distinct docs): the
+    document-frequency table a webtext pipeline uses to strip repeated
+    chrome before training.  One shuffle (the per-ngram count; the per-doc
+    distinct is a projection)."""
+    from liblognorm_spark.functions.text import boilerplate_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_ngrams(docs, min_docs=50)
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-doc n-gram repetition stats (Gopher-style rep signal);
+    shuffle-free single-projection plan."""
+    from liblognorm_spark.functions.text import doc_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_repetition(docs)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup GROUPS: connected components (alternating large/small-star,
     one shuffle per round) over the MinHash-LSH candidate pairs; the dedup
@@ -817,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_time12_duration": q_motif_time12_duration,
         "motif_kernel_ts": q_motif_kernel_ts,
         "motif_cee": q_motif_cee,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -1280,6 +1302,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "motif_string": """
             SELECT doc_id, 'a b' || (doc_id % 50) AS v FROM documents""",
+        # same shingle definition as the minhash CTEs (k=3 word n-grams)
+        "boilerplate_ngrams": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+                 shd AS (SELECT doc_id, unnest(list_distinct(
+                           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                ELSE list_transform(range(0, len(ws) - 2),
+                                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END
+                         )) AS ngram FROM w)
+            SELECT ngram, count(*) AS n_docs FROM shd
+            GROUP BY ngram HAVING count(*) >= 50""",
+        "doc_repetition": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+                 sl AS (SELECT doc_id,
+                           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                ELSE list_transform(range(0, len(ws) - 2),
+                                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END AS s
+                        FROM w)
+            SELECT doc_id,
+                   CAST(len(s) AS INTEGER) AS n_ngrams,
+                   CAST(len(list_distinct(s)) AS INTEGER) AS n_distinct,
+                   CAST((len(s) - len(list_distinct(s))) * 1000 // len(s) AS BIGINT) AS rep_millis
+            FROM sl""",
         "motif_nvl_sep": """
             SELECT doc_id, '' || (doc_id % 9) AS f_a, 'x' || doc_id AS f_b FROM documents""",
         "tpch_q1": """

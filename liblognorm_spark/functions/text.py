@@ -209,3 +209,47 @@ def bpe_token_count(col):
     pieces further by a bounded factor)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast("long")
+
+
+def boilerplate_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
+                       min_docs: int = 50):
+    """Cross-document boilerplate detection: word n-grams (the dedup
+    module's shingles, so the definition is shared with MinHash) appearing
+    in at least ``min_docs`` DISTINCT documents, with their document
+    frequency.  This is the table a web-scale pipeline uses to strip
+    headers/footers/nav chrome before training.
+
+    Scale shape: per-doc ``array_distinct`` BEFORE the explode turns the
+    distinct-(doc, ngram) step into a per-row projection — the only
+    shuffle is the final count per ngram (map-side partial agg)."""
+    from liblognorm_spark.functions.dedup import _spread, _word_shingles
+
+    sh = _spread(df.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_shingles(F.col(text_col)))).alias("ngram"),
+    )
+    return (
+        sh.groupBy("ngram").agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition stats (the Gopher-style rep-ngram
+    filter's raw signal): total vs distinct word n-grams per doc and the
+    duplicate fraction in millis.  Pure per-row projection — no shuffle,
+    whole plan stays in one codegen stage over the scan."""
+    from liblognorm_spark.functions.dedup import _word_shingles
+
+    sl = _word_shingles(F.col(text_col))
+    total = F.size(sl)
+    dist = F.size(F.array_distinct(sl))
+    # floor((dup * 1000) / total) == integer division for non-negatives;
+    # the DuckDB twin uses // over the same integers, bit-identical here
+    rep = F.floor((total - dist) * 1000 / total).cast("long")
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        dist.alias("n_distinct"),
+        rep.alias("rep_millis"),
+    )

@@ -161,3 +161,32 @@ def test_topk_users_aggregates_before_rank(spark):
     plan = plan_of(df)
     assert "Window" in plan and "HashAggregate" in plan, plan
     assert plan.index("Window") < plan.index("HashAggregate"), plan  # Window above agg in printout
+
+
+def test_doc_repetition_shuffle_free(spark):
+    """Within-doc repetition is a pure projection: zero Exchange nodes,
+    zero Python eval — the whole plan is scan + codegen project."""
+    from liblognorm_spark.functions.text import doc_repetition
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(doc_repetition(docs))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_boilerplate_ngrams_single_count_shuffle(spark):
+    """Cross-doc boilerplate: per-doc distinct happens BEFORE the explode
+    (projection), so the only shuffles are the count-by-ngram aggregation
+    (+ the small-input spread repartition) — never a distinct over the
+    exploded (doc, ngram) rows."""
+    from liblognorm_spark.functions.text import boilerplate_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(boilerplate_ngrams(docs))
+    assert "Python" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # hashpartitioning exchanges: exactly one keyed on ngram
+    import re as _re
+
+    keyed = _re.findall(r"hashpartitioning\(([a-z_]+)", plan)
+    assert keyed.count("ngram") <= 1, plan
