@@ -648,6 +648,30 @@ def q_doc_repetition(spark, sf_dir):
     return doc_repetition(docs)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing >= 10 distinct 3-grams with
+    the deterministic 'benchmark' subset (doc_id % 97 == 3).  The benchmark
+    n-gram set is broadcast; the corpus side is projection + broadcast hash
+    join + one count shuffle."""
+    from liblognorm_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where((F.col("doc_id") % 97) == 3)
+    return decontaminate(docs.where((F.col("doc_id") % 97) != 3), bench)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-lang sampling (data mixing): keep 50% en, 25% de,
+    10% everything else — hash-of-id threshold, identical set every run,
+    pure filter plan (no shuffle, no Python)."""
+    from liblognorm_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, {"en": 500, "de": 250}
+    ).select("doc_id", "lang")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup GROUPS: connected components (alternating large/small-star,
     one shuffle per round) over the MinHash-LSH candidate pairs; the dedup
@@ -839,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_cee": q_motif_cee,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1326,6 +1352,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(s)) AS INTEGER) AS n_distinct,
                    CAST((len(s) - len(list_distinct(s))) * 1000 // len(s) AS BIGINT) AS rep_millis
             FROM sl""",
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+                 shd AS (SELECT doc_id, unnest(list_distinct(
+                           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                ELSE list_transform(range(0, len(ws) - 2),
+                                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END
+                         )) AS ngram FROM w),
+                 bench AS (SELECT DISTINCT ngram FROM shd WHERE doc_id % 97 = 3)
+            SELECT d.doc_id, count(*) AS n_shared_ngrams
+            FROM shd d JOIN bench b ON d.ngram = b.ngram
+            WHERE d.doc_id % 97 <> 3
+            GROUP BY d.doc_id HAVING count(*) >= 10""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('samp|' || doc_id), 1, 15)) AS BIGINT) % 1000
+                  < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""",
         "motif_nvl_sep": """
             SELECT doc_id, '' || (doc_id % 9) AS f_a, 'x' || doc_id AS f_b FROM documents""",
         "tpch_q1": """

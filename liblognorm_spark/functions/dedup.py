@@ -518,3 +518,33 @@ def dedup_clusters(df, text_col: str = "text", id_col: str = "doc_id",
         )
         .withColumn("is_kept", (F.col("doc_id") == F.col("cluster")).cast("boolean"))
     )
+
+
+def decontaminate(df, bench_df, text_col: str = "text", id_col: str = "doc_id",
+                  min_shared: int = 10):
+    """Benchmark decontamination: flag documents sharing at least
+    ``min_shared`` DISTINCT word n-grams (the module's shingles) with the
+    union of a benchmark set's n-grams — the standard pre-training check
+    that eval data did not leak into the corpus.
+
+    Scale shape: the benchmark side (eval sets are tiny next to a 100-TB
+    corpus) is reduced to its distinct n-grams and BROADCAST; the corpus
+    side is a projection (per-doc array_distinct before the explode) into
+    a broadcast hash join + one count shuffle.  Returns
+    (id, n_shared_ngrams) for flagged documents."""
+    bench_ngrams = (
+        bench_df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.array_distinct(_word_shingles(F.col(text_col)))).alias("ngram"))
+        .distinct()
+    )
+    doc_ngrams = _spread(df.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_shingles(F.col(text_col)))).alias("ngram"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        doc_ngrams.join(broadcast(bench_ngrams), "ngram")
+        .groupBy(id_col).agg(F.count("*").alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") >= min_shared)
+    )

@@ -190,3 +190,27 @@ def test_boilerplate_ngrams_single_count_shuffle(spark):
 
     keyed = _re.findall(r"hashpartitioning\(([a-z_]+)", plan)
     assert keyed.count("ngram") <= 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must be the BROADCAST side of the overlap
+    join (eval sets are tiny next to the corpus) — never a shuffle join,
+    never a cartesian."""
+    from liblognorm_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where("doc_id % 97 = 3")
+    plan = plan_of(decontaminate(docs.where("doc_id % 97 <> 3"), bench))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Deterministic sampling is a filter over the scan: zero Exchange,
+    zero Python, and the sampling predicate is pushed into the scan stage."""
+    from liblognorm_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(stratified_sample(docs, {"en": 500, "de": 250}))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
