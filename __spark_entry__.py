@@ -660,6 +660,25 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs.where((F.col("doc_id") % 97) != 3), bench)
 
 
+def q_pack_into_bins(spark, sf_dir):
+    """Sequence-packing bin assignment: greedy token-budget packing within
+    deterministic hash shards (one shuffle + per-shard window running sum
+    — never a global single-partition sort)."""
+    from liblognorm_spark.functions.sampling import pack_into_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_into_bins(docs, budget_tokens=4096, n_shards=16)
+
+
+def q_mixture_report(spark, sf_dir):
+    """Per-(lang, source) doc/token counts with per-mille corpus fractions
+    — the data-mixing accounting table."""
+    from liblognorm_spark.functions.text import mixture_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_report(docs)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-lang sampling (data mixing): keep 50% en, 25% de,
     10% everything else — hash-of-id threshold, identical set every run,
@@ -865,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "pack_into_bins": q_pack_into_bins,
+        "mixture_report": q_mixture_report,
     }
 
 
@@ -1369,6 +1390,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('samp|' || doc_id), 1, 15)) AS BIGINT) % 1000
                   < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""",
+        "pack_into_bins": """
+            WITH t AS (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+                   CAST(('0x' || substr(md5('pack|' || doc_id), 1, 15)) AS BIGINT) % 16 AS shard
+                 FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+                        / 4096.0) AS BIGINT) AS bin
+            FROM t""",
+        "mixture_report": """
+            WITH agg AS (
+              SELECT lang, source, count(*) AS n_docs,
+                     sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split(trim(text), ' ')) END) AS n_tokens
+              FROM documents GROUP BY lang, source)
+            SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor(n_docs * 1000.0 / sum(n_docs) OVER ()) AS BIGINT) AS doc_millis,
+                   CAST(floor(n_tokens * 1000.0 / sum(n_tokens) OVER ()) AS BIGINT) AS token_millis
+            FROM agg""",
         "motif_nvl_sep": """
             SELECT doc_id, '' || (doc_id % 9) AS f_a, 'x' || doc_id AS f_b FROM documents""",
         "tpch_q1": """

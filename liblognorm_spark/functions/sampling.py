@@ -37,3 +37,34 @@ def stratified_sample(df, rates_millis: dict[str, int],
     for k, v in sorted(rates_millis.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
     return df.where(_hash_millis(id_col) < rate)
+
+
+def pack_into_bins(df, budget_tokens: int, n_shards: int = 256,
+                   token_col=None, text_col: str = "text", id_col: str = "doc_id"):
+    """Sequence-packing bin assignment: greedy running-sum packing of
+    documents into fixed token budgets (the pre-training step that turns a
+    corpus into constant-length training sequences).
+
+    Scale shape: a single global running sum would serialize the corpus
+    through one partition, so docs are first sharded by a deterministic
+    hash of the id and packed WITHIN shards — one shuffle, then a window
+    running-sum per shard; bins are (shard, bin_in_shard) pairs and every
+    shard packs independently on its own executor.  Deterministic: shard
+    and order are pure functions of the id.
+
+    Returns (id, n_tokens, shard, bin) with bin = the 0-based bin index
+    inside the shard (running_sum_inclusive - 1) DIV budget."""
+    from pyspark.sql import Window
+    from liblognorm_spark.functions.text import token_count
+
+    tokens = (token_col if token_col is not None else token_count(text_col)).alias("n_tokens")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col))), 1, 15), 16, 10)
+        .cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    run = F.sum("n_tokens").over(w)
+    return (
+        df.select(F.col(id_col), tokens, shard)
+        .withColumn("bin", ((run - 1) / F.lit(budget_tokens)).cast("long"))
+    )

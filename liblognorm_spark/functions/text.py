@@ -253,3 +253,24 @@ def doc_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
         dist.alias("n_distinct"),
         rep.alias("rep_millis"),
     )
+
+
+def mixture_report(df, strata=("lang", "source"), text_col: str = "text"):
+    """Data-mixture accounting: per-stratum document and token counts with
+    per-mille fractions of the corpus totals — the report a data-mixing
+    run is tuned against.  One shuffle (the groupBy); the totals come from
+    a window over the tiny aggregated result, not a second scan."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy(*strata).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("n_docs") * 1000 / F.sum("n_docs").over(w)).cast("long").alias("doc_millis"),
+        F.floor(F.col("n_tokens") * 1000 / F.sum("n_tokens").over(w)).cast("long").alias("token_millis"),
+    )

@@ -214,3 +214,30 @@ def test_stratified_sample_is_pure_filter(spark):
     plan = plan_of(stratified_sample(docs, {"en": 500, "de": 250}))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_pack_into_bins_shards_the_window(spark):
+    """Sequence packing must never run a global single-partition running
+    sum: the window partitions by the hash shard (hashpartitioning
+    exchange), so every shard packs independently."""
+    from liblognorm_spark.functions.sampling import pack_into_bins
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(pack_into_bins(docs, budget_tokens=4096, n_shards=16))
+    assert "Window" in plan, plan
+    assert "hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_mixture_report_aggregates_before_global_window(spark):
+    """The per-mille fractions come from a window over the AGGREGATED
+    frame (<= #strata rows), never a second scan of the corpus: one
+    HashAggregate pair, and the single-partition exchange sits above it."""
+    from liblognorm_spark.functions.text import mixture_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(mixture_report(docs))
+    assert "HashAggregate" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Python" not in plan, plan
