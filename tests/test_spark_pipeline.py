@@ -398,3 +398,21 @@ def test_streaming_dedup(spark, pages, tmp_path):
     finally:
         q.stop()
     assert n["c"] == 500 and n["n"] == 500
+
+
+def test_sampling_deterministic_across_partitioning(spark):
+    """The sampler and the packer must produce IDENTICAL results whatever
+    the physical partitioning (the determinism claim that makes re-runs,
+    resumes, and audits see the same subset/bins)."""
+    from liblognorm_spark.functions.sampling import pack_into_bins, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (
+        lambda d: stratified_sample(d, {"en": 500, "de": 250}).select("doc_id"),
+        lambda d: pack_into_bins(d, budget_tokens=2048, n_shards=8),
+    ):
+        a = sorted(map(tuple, op(docs).collect()))
+        b = sorted(map(tuple, op(docs.repartition(17)).collect()))
+        c = sorted(map(tuple, op(docs.coalesce(1)).collect()))
+        assert a == b == c
+        assert len(a) > 0
