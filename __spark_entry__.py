@@ -629,14 +629,17 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_boilerplate_ngrams(spark, sf_dir):
-    """Cross-doc boilerplate word-3-grams (>= 50 distinct docs): the
+    """Cross-doc boilerplate word-3-grams (>= 5 distinct docs): the
     document-frequency table a webtext pipeline uses to strip repeated
     chrome before training.  One shuffle (the per-ngram count; the per-doc
-    distinct is a projection)."""
+    distinct is a projection).  min_docs=5 here (production would use a
+    much higher bar) so the oracle comparison is NON-vacuous on the shipped
+    corpora: 151 qualifying ngrams at sf0.01, vs 0 at the old min_docs=50
+    (round-3 verdict: a count-expression bug could have passed unnoticed)."""
     from liblognorm_spark.functions.text import boilerplate_ngrams
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return boilerplate_ngrams(docs, min_docs=50)
+    return boilerplate_ngrams(docs, min_docs=5)
 
 
 def q_doc_repetition(spark, sf_dir):
@@ -827,18 +830,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_lang": q_enrich_lang,
         "parse_rate": q_parse_rate,
         # per-motif micros (hardest parameter spaces kept in-window;
-        # the rest sit past 50, corpus- and pytest-covered)
+        # the rest sit past 50, corpus- and pytest-covered.  Round 4
+        # rotated motif_dates/rfc5424/repeat/string/nvl_sep/checkpoint_lea
+        # to the tail — each is corpus-golden-covered and stays
+        # pytest-oracle-checked — to make room for the six round-3
+        # LLM-pipeline operators the driver had never green-lit.)
         "motif_number_maxval": q_motif_number_maxval,
         "motif_float": q_motif_float,
-        "motif_dates": q_motif_dates,
-        "motif_rfc5424": q_motif_rfc5424,
         "motif_ipv6": q_motif_ipv6,
         "motif_cisco": q_motif_cisco,
         "motif_cef": q_motif_cef,
-        "motif_checkpoint_lea": q_motif_checkpoint_lea,
-        "motif_repeat": q_motif_repeat,
-        "motif_string": q_motif_string,
-        "motif_nvl_sep": q_motif_nvl_sep,
+        # round-3 LLM-pipeline operators (driver window since round 4)
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_into_bins": q_pack_into_bins,
+        "mixture_report": q_mixture_report,
         # relational
         "tpch_q1": q_tpch_q1,
         "join_topk_customers": q_join_topk_customers,
@@ -880,12 +888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_time12_duration": q_motif_time12_duration,
         "motif_kernel_ts": q_motif_kernel_ts,
         "motif_cee": q_motif_cee,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "doc_repetition": q_doc_repetition,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_into_bins": q_pack_into_bins,
-        "mixture_report": q_mixture_report,
+        "motif_dates": q_motif_dates,
+        "motif_rfc5424": q_motif_rfc5424,
+        "motif_checkpoint_lea": q_motif_checkpoint_lea,
+        "motif_repeat": q_motif_repeat,
+        "motif_string": q_motif_string,
+        "motif_nvl_sep": q_motif_nvl_sep,
     }
 
 
@@ -1359,7 +1367,7 @@ def oracle_sql() -> dict[str, str]:
                                      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END
                          )) AS ngram FROM w)
             SELECT ngram, count(*) AS n_docs FROM shd
-            GROUP BY ngram HAVING count(*) >= 50""",
+            GROUP BY ngram HAVING count(*) >= 5""",
         "doc_repetition": """
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                        FROM documents WHERE text IS NOT NULL),
@@ -1396,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5('pack|' || doc_id), 1, 15)) AS BIGINT) % 16 AS shard
                  FROM documents)
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
-                   CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+                   CAST(floor(greatest(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - 1, 0)
                         / 4096.0) AS BIGINT) AS bin
             FROM t""",
         "mixture_report": """

@@ -142,7 +142,14 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id",
       Chosen default on interleaved A/B medians (BASELINE.md).
     * ``explode``: explode shingles once, n seeded hash columns, then
       groupBy(doc).min per hash (map-side partial agg + one shuffle).
+
+    NULL-text docs are dropped up front so both strategies see the same
+    row set: without the filter the explode path silently drops them
+    (explode of a NULL array yields no rows) while the agg fold would
+    emit a NULL signature — which downstream banding would md5 into one
+    giant shared bucket of all NULL-text docs.
     """
+    df = df.where(F.col(text_col).isNotNull())
     if method == "agg":
         sentinel = F.array_repeat(F.lit("g"), n)  # 'g' > any hex char
         acc_fold = F.aggregate(

@@ -53,7 +53,10 @@ def pack_into_bins(df, budget_tokens: int, n_shards: int = 256,
     and order are pure functions of the id.
 
     Returns (id, n_tokens, shard, bin) with bin = the 0-based bin index
-    inside the shard (running_sum_inclusive - 1) DIV budget."""
+    inside the shard: greatest(running_sum_inclusive - 1, 0) DIV budget.
+    The clamp keeps a leading run of 0-token docs in bin 0 (an unclamped
+    (run-1)/budget would floor to -1 for them under floor-division
+    semantics) and is mirrored bit-identically in the DuckDB oracle."""
     from pyspark.sql import Window
     from liblognorm_spark.functions.text import token_count
 
@@ -66,5 +69,8 @@ def pack_into_bins(df, budget_tokens: int, n_shards: int = 256,
     run = F.sum("n_tokens").over(w)
     return (
         df.select(F.col(id_col), tokens, shard)
-        .withColumn("bin", ((run - 1) / F.lit(budget_tokens)).cast("long"))
+        .withColumn(
+            "bin",
+            F.floor(F.greatest(run - 1, F.lit(0)) / F.lit(budget_tokens)).cast("long"),
+        )
     )

@@ -283,3 +283,23 @@ def test_dedup_clusters_shape(spark):
         assert len(keeps) == 1 and keeps[0]["doc_id"] == cl == min(m["doc_id"] for m in members)
     assert any(len(m) > 1 for m in by_cluster.values())  # non-trivial on the fixture
     unpersist_dedup_caches()
+
+
+def test_minhash_null_text_dropped_both_methods(spark):
+    """ADVICE (round 3): NULL-text docs must vanish from BOTH physical
+    strategies — the agg fold used to emit a NULL signature that banding
+    md5'd into one shared bucket for every NULL-text doc."""
+    from liblognorm_spark.functions.dedup import minhash_lsh_pairs, minhash_signatures, unpersist_dedup_caches
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None), (4, "omega psi chi phi")],
+        "doc_id long, text string",
+    )
+    for method in ("agg", "explode"):
+        sigs = minhash_signatures(docs, method=method).collect()
+        assert sorted(r["doc_id"] for r in sigs) == [1, 4], method
+        assert all(r["minhash"] is not None for r in sigs), method
+    # and the two NULL-text docs must NOT pair up via a shared NULL band
+    pairs = minhash_lsh_pairs(docs).collect()
+    unpersist_dedup_caches()
+    assert not any({r["id_a"], r["id_b"]} == {2, 3} for r in pairs)
