@@ -663,6 +663,24 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs.where((F.col("doc_id") % 97) != 3), bench)
 
 
+def q_decontaminate_k8(spark, sf_dir):
+    """Decontamination at the production window width (8-word n-grams:
+    wide enough that a shared n-gram is evidence of copying, not phrase
+    reuse).  The shipped corpora share NO natural 8-grams across docs, so
+    the query plants verbatim leaks — each benchmark doc re-enters the
+    corpus under doc_id+1000000 — and the check must flag exactly those
+    with their full shared-ngram counts (the DuckDB twin plants the same
+    rows, so an off-by-one in the window or count shows up as a value
+    mismatch, never as empty==empty)."""
+    from liblognorm_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where((F.col("doc_id") % 97) == 3)
+    leaked = bench.withColumn("doc_id", F.col("doc_id") + 1000000)
+    corpus = docs.where((F.col("doc_id") % 97) != 3).unionByName(leaked)
+    return decontaminate(corpus, bench, min_shared=5, ngram_k=8)
+
+
 def q_pack_into_bins(spark, sf_dir):
     """Sequence-packing bin assignment: greedy token-budget packing within
     deterministic hash shards (one shuffle + per-shard window running sum
@@ -894,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_repeat": q_motif_repeat,
         "motif_string": q_motif_string,
         "motif_nvl_sep": q_motif_nvl_sep,
+        "decontaminate_k8": q_decontaminate_k8,
     }
 
 
@@ -1394,6 +1413,28 @@ def oracle_sql() -> dict[str, str]:
             FROM shd d JOIN bench b ON d.ngram = b.ngram
             WHERE d.doc_id % 97 <> 3
             GROUP BY d.doc_id HAVING count(*) >= 10""",
+        "decontaminate_k8": """
+            WITH corpus AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 3),
+                 w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM corpus WHERE text IS NOT NULL),
+                 shd AS (SELECT doc_id, unnest(list_distinct(
+                           CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                                ELSE list_transform(range(0, len(ws) - 7),
+                                     i -> array_to_string(list_slice(ws, i + 1, i + 8), ' ')) END
+                         )) AS ngram FROM w),
+                 bw AS (SELECT string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                        FROM documents WHERE doc_id % 97 = 3 AND text IS NOT NULL),
+                 bench AS (SELECT DISTINCT unnest(list_distinct(
+                           CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                                ELSE list_transform(range(0, len(ws) - 7),
+                                     i -> array_to_string(list_slice(ws, i + 1, i + 8), ' ')) END
+                         )) AS ngram FROM bw)
+            SELECT d.doc_id, count(*) AS n_shared_ngrams
+            FROM shd d JOIN bench b ON d.ngram = b.ngram
+            GROUP BY d.doc_id HAVING count(*) >= 5""",
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('samp|' || doc_id), 1, 15)) AS BIGINT) % 1000

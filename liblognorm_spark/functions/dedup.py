@@ -528,11 +528,14 @@ def dedup_clusters(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def decontaminate(df, bench_df, text_col: str = "text", id_col: str = "doc_id",
-                  min_shared: int = 10):
+                  min_shared: int = 10, ngram_k: int = SHINGLE_K):
     """Benchmark decontamination: flag documents sharing at least
-    ``min_shared`` DISTINCT word n-grams (the module's shingles) with the
-    union of a benchmark set's n-grams — the standard pre-training check
-    that eval data did not leak into the corpus.
+    ``min_shared`` DISTINCT word ``ngram_k``-grams with the union of a
+    benchmark set's n-grams — the standard pre-training check that eval
+    data did not leak into the corpus.  Production leak checks use wide
+    windows (8-13 words: long enough that a shared n-gram is evidence of
+    copying, not phrase reuse) — pass ``ngram_k=8`` and a lower
+    ``min_shared``; the default k=3 matches the module's MinHash shingles.
 
     Scale shape: the benchmark side (eval sets are tiny next to a 100-TB
     corpus) is reduced to its distinct n-grams and BROADCAST; the corpus
@@ -541,12 +544,12 @@ def decontaminate(df, bench_df, text_col: str = "text", id_col: str = "doc_id",
     (id, n_shared_ngrams) for flagged documents."""
     bench_ngrams = (
         bench_df.where(F.col(text_col).isNotNull())
-        .select(F.explode(F.array_distinct(_word_shingles(F.col(text_col)))).alias("ngram"))
+        .select(F.explode(F.array_distinct(_word_shingles(F.col(text_col), k=ngram_k))).alias("ngram"))
         .distinct()
     )
     doc_ngrams = _spread(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_word_shingles(F.col(text_col)))).alias("ngram"),
+        F.explode(F.array_distinct(_word_shingles(F.col(text_col), k=ngram_k))).alias("ngram"),
     )
     from pyspark.sql.functions import broadcast
 

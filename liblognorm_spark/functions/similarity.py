@@ -85,15 +85,29 @@ def hyperplane_bucket(vec, nplanes: int = 8, dim: int = 16):
     return bucket_from_planes(vec, _hyperplanes(dim, nplanes))
 
 
-def query_bucket(query_vec: list[float], nplanes: int) -> int:
-    """Driver-side bucket of a literal query vector (same planes/fold as
-    bucket_from_planes: sum() folds left from 0, matching F.aggregate)."""
-    planes = _hyperplanes(len(query_vec), nplanes)
+def _qbucket_planes(query_vec: list[float], planes) -> int:
+    """Driver-side bucket of a literal query vector against an explicit
+    plane list (same fold as bucket_from_planes: sum() folds left from 0,
+    matching F.aggregate)."""
     b = 0
     for p, plane in enumerate(planes):
         if sum(a * v for a, v in zip(query_vec, plane)) >= 0:
             b |= 1 << p
     return b
+
+
+def query_bucket(query_vec: list[float], nplanes: int) -> int:
+    """Driver-side bucket of a literal query vector."""
+    return _qbucket_planes(query_vec, _hyperplanes(len(query_vec), nplanes))
+
+
+def _table_planes(dim: int, nplanes: int, n_tables: int):
+    """Per-table hyperplane sets, sliced from one deterministic sequence —
+    the SAME convention dedup.embedding_near_dups uses, so table 0 of a
+    multi-table call is exactly the single-table plane set (n_tables=1
+    reproduces the legacy behavior bit-for-bit)."""
+    planes = _hyperplanes(dim, n_tables * nplanes)
+    return [planes[t * nplanes:(t + 1) * nplanes] for t in range(n_tables)]
 
 
 def brute_force_topk(emb_df, query_vec: list[float], k: int = 10,
@@ -120,55 +134,93 @@ def _probe_buckets(qbucket: int, nplanes: int, probe_hamming: int) -> list[int]:
     return sorted(probes)
 
 
+def ann_candidates(emb_df, query_vec: list[float],
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   nplanes: int = 6, probe_hamming: int = 2,
+                   n_tables: int = 1):
+    """Candidate rows for a query under multi-table multi-probe sign-LSH:
+    a row is a candidate when, in ANY of the ``n_tables`` independent
+    hyperplane tables, its bucket is within ``probe_hamming`` bit flips of
+    the query's bucket in that table (OR-amplification — the same recall
+    lever dedup.embedding_near_dups uses).  Exposed separately so recall
+    experiments can COUNT candidates (the scanned fraction) with the exact
+    production predicate."""
+    dim = len(query_vec)
+    cond = None
+    for planes in _table_planes(dim, nplanes, n_tables):
+        probes = _probe_buckets(_qbucket_planes(query_vec, planes), nplanes, probe_hamming)
+        c = bucket_from_planes(F.col(vec_col), planes).isin(*probes)
+        cond = c if cond is None else (cond | c)
+    return emb_df.select(F.col(id_col), F.col(vec_col)).where(cond)
+
+
 def lsh_topk(emb_df, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             nplanes: int = 6, probe_hamming: int = 2):
+             nplanes: int = 6, probe_hamming: int = 2, n_tables: int = 1):
     """Approximate top-k: score only rows whose hyperplane bucket is within
-    `probe_hamming` bit flips of the query's bucket (multi-probe LSH).
+    `probe_hamming` bit flips of the query's bucket in at least one of
+    `n_tables` independent plane tables (multi-probe, multi-table LSH).
     Computes buckets at query time — fine for one-off scans; use
     build_ann_index + lsh_topk_indexed for a reusable corpus.
 
     Recall/candidate tradeoff is corpus-dependent: sign-LSH concentrates
-    sharply when true neighbors are close (cos >= ~0.8, the near-dup case);
-    on near-orthogonal data (the synthetic fixture) wider probing is needed
-    — probe_hamming=2 measures recall@10 = 5/10 scanning ~31% of the
-    fixture vs 3/10 at ~8% for hamming 1 (tests/test_dedup_groundtruth)."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, nplanes)
-    probes = _probe_buckets(query_bucket(query_vec, nplanes), nplanes, probe_hamming)
-    keyed = emb_df.select(
-        F.col(id_col), F.col(vec_col),
-        bucket_from_planes(F.col(vec_col), planes).alias("bkt"),
-    )
-    cand = keyed.where(F.col("bkt").isin(*probes))
+    sharply when true neighbors are close (cos >= ~0.8, the near-dup case
+    — the planted-neighbor test measures 10/10 there at a few %% scanned);
+    on near-orthogonal data (the synthetic fixture — "neighbors" at cos
+    ~0.3-0.5 are barely distinguishable from the bulk, the adversarial
+    case for any LSH) more tables and wider probing are needed.  Measured
+    on the fixture (tests/test_dedup_groundtruth; scanned = candidate
+    fraction; query vec 0 / mean over 7 spread queries):
+      6 planes, 1 table,  hamming 1:  recall@10 3/10 at  8%% scanned
+      6 planes, 1 table,  hamming 2:  recall@10 5/10 at 31%% scanned (old default)
+      8 planes, 8 tables, hamming 1:  recall@10 9/10 at 30%% (mean 5.7/10 at 25%%)
+    — OR-across-tables dominates the recall-per-scanned-row curve:
+    widening one table's probe radius past hamming 2 scans more for less."""
+    cand = ann_candidates(emb_df, query_vec, vec_col, id_col,
+                          nplanes, probe_hamming, n_tables)
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
 def build_ann_index(emb_df, path: str, dim: int,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    nplanes: int = 6):
-    """Persist the corpus as a parquet table PARTITIONED BY the hyperplane
-    bucket.  At 100 TB this is the ANN story: the bucket assignment is paid
-    once at ingest, and every query prunes to (nplanes+1) of 2^nplanes
-    partition directories at scan time — no full-corpus scan, no per-query
-    bucket computation.  Partition count is 2^nplanes; pick nplanes so each
-    bucket is a healthy parquet partition (e.g. 2^10 buckets for 100 TB ->
-    ~100 GB per bucket, further split by parquet row groups)."""
-    planes = _hyperplanes(dim, nplanes)
+                    nplanes: int = 6, n_tables: int = 1):
+    """Persist the corpus as a parquet table PARTITIONED BY (tbl, bucket):
+    each row is written once per hyperplane table with that table's bucket.
+    At 100 TB this is the ANN story: the bucket assignment is paid once at
+    ingest, and every query prunes to n_tables * (probe count) of
+    n_tables * 2^nplanes partition directories at scan time — no
+    full-corpus scan, no per-query bucket computation.  Storage cost is
+    n_tables copies of the corpus (the standard multi-table LSH trade);
+    pick nplanes so each bucket is a healthy parquet partition (e.g. 2^10
+    buckets for 100 TB -> ~100 GB per bucket, further split by parquet
+    row groups)."""
+    tables = _table_planes(dim, nplanes, n_tables)
     keyed = emb_df.select(
         F.col(id_col), F.col(vec_col),
-        bucket_from_planes(F.col(vec_col), planes).alias("bkt"),
-    )
-    keyed.write.mode("overwrite").partitionBy("bkt").parquet(path)
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     bucket_from_planes(F.col(vec_col), planes).alias("bkt"))
+            for t, planes in enumerate(tables)
+        ])).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+    keyed.write.mode("overwrite").partitionBy("tbl", "bkt").parquet(path)
 
 
 def lsh_topk_indexed(spark, index_path: str, query_vec: list[float], k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     nplanes: int = 6, probe_hamming: int = 2):
-    """Top-k over a build_ann_index() table: the bucket filter is a
+                     nplanes: int = 6, probe_hamming: int = 2,
+                     n_tables: int = 1):
+    """Top-k over a build_ann_index() table: the (tbl, bucket) filter is a
     partition-column predicate, so the scan reads only the probed bucket
-    directories (verify with .explain -> PartitionFilters)."""
-    probes = _probe_buckets(query_bucket(query_vec, nplanes), nplanes, probe_hamming)
+    directories (verify with .explain -> PartitionFilters).  A row that
+    collides with the query in several tables is scored once
+    (dropDuplicates on the id before scoring)."""
+    dim = len(query_vec)
+    cond = None
+    for t, planes in enumerate(_table_planes(dim, nplanes, n_tables)):
+        probes = _probe_buckets(_qbucket_planes(query_vec, planes), nplanes, probe_hamming)
+        c = (F.col("tbl") == t) & F.col("bkt").isin(*probes)
+        cond = c if cond is None else (cond | c)
     idx = spark.read.parquet(index_path)
-    cand = idx.where(F.col("bkt").isin(*probes))
+    cand = idx.where(cond).dropDuplicates([id_col])
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)

@@ -167,6 +167,68 @@ def test_ann_lsh_topk_recall_at_10(spark):
     assert overlap >= 5, f"recall@10 {overlap}/10"
 
 
+def test_ann_multitable_recall_vs_scan(spark):
+    """Multi-table operating point on the NEAR-ORTHOGONAL fixture (the
+    adversarial case: 'neighbors' at cos ~0.3-0.5 barely stand out from
+    the bulk).  8 tables x 8 planes at probe hamming 1, query vec 0:
+    measured recall@10 = 9/10 scanning 149/500 = 29.8%% — vs 5/10 at
+    31.4%% for the single-table hamming-2 default.  Both bounds pinned."""
+    from liblognorm_spark.functions.similarity import (
+        ann_candidates,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    scanned = ann_candidates(emb, q, nplanes=8, probe_hamming=1, n_tables=8).count()
+    approx = {r["vec_id"] for r in
+              lsh_topk(emb, q, k=10, nplanes=8, probe_hamming=1, n_tables=8).collect()}
+    overlap = len(exact & approx)
+    assert overlap >= 8, f"recall@10 {overlap}/10"
+    assert scanned / n <= 0.35, f"scanned {scanned}/{n}"
+
+
+def test_ann_planted_neighbors_high_recall_small_scan(spark):
+    """The case ANN is actually deployed for: true neighbors are CLOSE
+    (cos >= ~0.9 — near-dup embeddings).  Plant 10 perturbed copies of a
+    query among ~500 background vectors: multi-table LSH must find all the
+    exact top-10 while scanning a small fraction of the corpus — on
+    concentrated data sign-LSH prunes hard, unlike the near-orthogonal
+    fixture above."""
+    import numpy as np
+
+    from liblognorm_spark.functions.similarity import (
+        ann_candidates,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    base = rng.randn(500, dim)
+    qv = rng.randn(dim)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(10):  # ids 1000+: query + small noise -> cos ~0.95+
+        rows.append((1000 + j, [float(x) for x in (qv + 0.15 * rng.randn(dim))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in qv]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    assert exact == {1000 + j for j in range(10)}  # planted dominate cosine
+    n = emb.count()
+    # concentrated data needs NO probe widening: hamming 0 (exact bucket
+    # per table) — a cos-0.95 neighbor agrees with the query on all 8
+    # planes ~42%% of the time per table, so 8 OR'd tables capture it
+    # w.p. ~0.99 while each probe reads ~1/256 of the corpus
+    scanned = ann_candidates(emb, q, nplanes=8, probe_hamming=0, n_tables=8).count()
+    approx = {r["vec_id"] for r in
+              lsh_topk(emb, q, k=10, nplanes=8, probe_hamming=0, n_tables=8).collect()}
+    assert len(exact & approx) == 10, f"recall@10 {len(exact & approx)}/10"
+    assert scanned / n <= 0.15, f"scanned {scanned}/{n} — should prune hard on concentrated data"
+
+
 def test_indexed_ann_matches_scan_and_prunes(spark, tmp_path):
     from liblognorm_spark.functions.similarity import (
         build_ann_index,
@@ -185,6 +247,20 @@ def test_indexed_ann_matches_scan_and_prunes(spark, tmp_path):
     # the bucket predicate must prune at scan time, not filter post-read
     plan = idx_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bkt" in plan.split("PartitionFilters")[1][:200], plan
+
+    # multi-table index: same results as the multi-table scan, pruned on
+    # BOTH partition columns (tbl, bkt), duplicates across tables scored once
+    path8 = str(tmp_path / "ann_index_t8")
+    build_ann_index(emb, path8, dim=64, nplanes=8, n_tables=8)
+    scan8 = [(r["vec_id"], r["cos_micros"]) for r in
+             lsh_topk(emb, q, k=10, nplanes=8, probe_hamming=1, n_tables=8).collect()]
+    idx8_df = lsh_topk_indexed(spark, path8, q, k=10, nplanes=8,
+                               probe_hamming=1, n_tables=8)
+    idx8 = [(r["vec_id"], r["cos_micros"]) for r in idx8_df.collect()]
+    assert idx8 == scan8
+    plan8 = idx8_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan8.split("PartitionFilters")[1][:300] if "PartitionFilters" in plan8 else ""
+    assert "tbl" in pf and "bkt" in pf, plan8
 
 
 def test_lsh_bucket_cap_defuses_skew(spark):
