@@ -753,6 +753,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ann_batch(spark, sf_dir):
+    """Batched multi-query ANN: every vec_id % 100 == 0 row queries the
+    corpus at once through ONE bucket equi-join (2 tables x 6 planes,
+    probe hamming 1) — the one-pass-over-the-corpus shape batch retrieval
+    takes at scale; no per-query scans, no cartesian product."""
+    from liblognorm_spark.functions.similarity import lsh_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") % 100) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk_batch(emb, queries, dim=64, k=10,
+                          nplanes=6, probe_hamming=1, n_tables=2)
+
+
 def q_media_decode(spark, sf_dir):
     from liblognorm_spark.functions.multimodal import decode_media
 
@@ -913,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_string": q_motif_string,
         "motif_nvl_sep": q_motif_nvl_sep,
         "decontaminate_k8": q_decontaminate_k8,
+        "ann_batch": q_ann_batch,
     }
 
 
@@ -1203,6 +1219,30 @@ def _ann_lsh_topk_oracle(dim: int = 64, nplanes: int = 6, k: int = 10) -> str:
         SELECT vec_id, cos_micros FROM s ORDER BY cos_micros DESC, vec_id LIMIT {k}"""
 
 
+def _ann_batch_oracle(dim: int = 64, nplanes: int = 6, n_tables: int = 2,
+                      hamming: int = 1, k: int = 10) -> str:
+    from liblognorm_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_tables * nplanes)
+    conds = " OR ".join(
+        f"bit_count(xor({_bucket_sql('e.v', planes[t * nplanes:(t + 1) * nplanes])}, "
+        f"{_bucket_sql('q.qv', planes[t * nplanes:(t + 1) * nplanes])})) <= {hamming}"
+        for t in range(n_tables)
+    )
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        cand AS (SELECT q.query_id, e.vec_id, e.v, q.qv FROM e, q WHERE {conds}),
+        s AS (SELECT query_id, vec_id,
+                     CAST(trunc({_cos_sql("v", "qv", dim)} * 1000000) AS BIGINT) AS cos_micros
+              FROM cand),
+        r AS (SELECT query_id, vec_id, cos_micros,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_micros DESC, vec_id) AS rn
+              FROM s)
+        SELECT query_id, vec_id, cos_micros, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= {k}"""
+
+
 def _media_ctes(doc_limit: int, wrap: bool) -> str:
     s = "'<html>' || text || '</html>'" if wrap else "text"
     return f"""
@@ -1241,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "embedding_near_dups": _embedding_near_dups_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
+        "ann_batch": _ann_batch_oracle(),
         "media_decode": _media_decode_oracle(),
         # real-codec roundtrip: the oracle recomputes every decoded field
         # (incl. the exact pixel sum) from doc_id, independent of the codec

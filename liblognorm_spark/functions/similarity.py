@@ -181,6 +181,73 @@ def lsh_topk(emb_df, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def lsh_topk_batch(emb_df, query_df, dim: int, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   nplanes: int = 6, probe_hamming: int = 2,
+                   n_tables: int = 1):
+    """Approximate top-k for MANY queries at once — the shape batch
+    retrieval takes at 100 TB: one pass over the corpus, never one scan
+    per query.
+
+    Plan: corpus rows expand to (tbl, bkt) once per table; query rows
+    expand to (tbl, probe_bkt) once per (table, probe) — probing bucket b
+    at hamming radius h means probing b XOR m for every mask m with
+    popcount(m) <= h, so the probe set is a LITERAL mask array applied
+    with bitwiseXOR.  The query side (tiny next to the corpus) is
+    BROADCAST into an equi-join on (tbl, bkt); candidates dedupe per
+    (query, doc) and a per-query window takes the top k.  No cartesian
+    product anywhere: the only join is hash-partitionable on bucket keys.
+
+    Returns (query_id, vec_id, cos_micros, rn) with rn = 1..k per query
+    (ties broken by vec_id, so output is deterministic)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tables = _table_planes(dim, nplanes, n_tables)
+    masks = _probe_buckets(0, nplanes, probe_hamming)  # XOR masks, popcount<=h
+    corpus = emb_df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     bucket_from_planes(F.col(vec_col), planes).alias("bkt"))
+            for t, planes in enumerate(tables)
+        ])).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+    queries = query_df.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("_qv"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     bucket_from_planes(F.col(query_vec_col), planes).alias("qbkt"))
+            for t, planes in enumerate(tables)
+        ])).alias("tb"),
+    ).select(
+        query_id_col, "_qv", "tb.tbl",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask"),
+        F.col("tb.qbkt"),
+    ).select(
+        query_id_col, "_qv", "tbl",
+        F.col("qbkt").bitwiseXOR(F.col("_mask")).alias("bkt"),
+    )
+    cand = (
+        corpus.join(broadcast(queries), ["tbl", "bkt"])
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col),
+        (cosine_expr(F.col(vec_col), F.col("_qv")) * 1000000)
+        .cast("long").alias("cos_micros"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_micros").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
 def build_ann_index(emb_df, path: str, dim: int,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     nplanes: int = 6, n_tables: int = 1):

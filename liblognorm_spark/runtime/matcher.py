@@ -57,39 +57,44 @@ def _finalize_event(crb: CompiledRulebase, cr, ev: dict) -> dict:
 
 
 def _rule_meta(crb: CompiledRulebase):
-    """rule_id -> per-rule constants (tags list, rb_file, rb_line), plus the
-    -1 unmatched defaults.  The tags list is ONE shared object per rule —
-    consumers only ever read it; building a fresh list per matched row was
-    a measurable cost on matched-heavy batches.  Cached on the rulebase."""
-    maps = getattr(crb, "_rule_meta_cache", None)
-    if maps is None:
-        tmap = {-1: None}
-        fmap = {-1: None}
-        lmap = {-1: 0}
+    """rule_id -> (tags list, rb_file, rb_line) tuple, plus the -1
+    unmatched defaults.  ONE combined map so the constant-column rebuild is
+    a single C-level map() pass + zip(*) transpose instead of three passes.
+    The tags list is ONE shared object per rule — consumers only ever read
+    it; building a fresh list per matched row was a measurable cost on
+    matched-heavy batches.  Cached on the rulebase."""
+    mmap = getattr(crb, "_rule_meta_cache", None)
+    if mmap is None:
+        mmap = {-1: (None, None, 0)}
         for cr in crb.rules:
-            tmap[cr.rule_id] = list(cr.tags)
-            fmap[cr.rule_id] = cr.rule.rb_file
-            lmap[cr.rule_id] = cr.rule.rb_line
-        maps = crb._rule_meta_cache = (tmap, fmap, lmap)
-    return maps
+            mmap[cr.rule_id] = (list(cr.tags), cr.rule.rb_file, cr.rule.rb_line)
+        crb._rule_meta_cache = mmap
+    return mmap
+
+
+def _dumps_std(ev: dict) -> str:
+    return _json.dumps(ev, ensure_ascii=False, separators=(",", ":"))
 
 
 try:  # orjson: ~5x faster serialization, same utf-8 output
     import orjson as _orjson
 
+    # bound method for the hot loop's inlined call (the wrapper-function
+    # call itself was measurable at matched-heavy batches)
+    _ORJSON_DUMPS = _orjson.dumps
+
     def _dumps(ev: dict) -> str:
         try:
-            return _orjson.dumps(ev).decode()
+            return _ORJSON_DUMPS(ev).decode()
         except TypeError:
             # orjson rejects surrogate-escaped strings (undecodable input
             # bytes round-tripped via errors='surrogateescape'); the
             # reference is byte-oriented and must not crash on them
-            return _json.dumps(ev, ensure_ascii=False, separators=(",", ":"))
+            return _dumps_std(ev)
 
 except ImportError:  # pragma: no cover
-
-    def _dumps(ev: dict) -> str:
-        return _json.dumps(ev, ensure_ascii=False, separators=(",", ":"))
+    _ORJSON_DUMPS = None
+    _dumps = _dumps_std
 
 
 def _fallback_index(crb: CompiledRulebase):
@@ -221,6 +226,21 @@ def _cohort_dispatch(crb: CompiledRulebase):
     return crb._dispatch
 
 
+_DISPATCH_MEMO_MAX = 65536
+
+
+def _dispatch_memo(crb: CompiledRulebase) -> dict:
+    """prefix -> tuple(cohort ids) memo, bounded, kept across batches on
+    the compiled rulebase.  Log streams repeat their 16-char prefixes
+    (program/host names) for hours, so after warmup a batch's dispatch is
+    pure dict hits — at 8192 rules the trie descent per distinct prefix
+    was ~15%% of matched-heavy batch time."""
+    memo = getattr(crb, "_dispatch_memo_cache", None)
+    if memo is None:
+        memo = crb._dispatch_memo_cache = {}
+    return memo
+
+
 def _exec_path_of(crb: CompiledRulebase, rule) -> str:
     """metadata.exec-path string for a matched rule (pdag.h:19, emission
     pdag.c:1268-1293 under LN_CTXOPT_ADD_EXEC_PATH).
@@ -331,30 +351,71 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
         parsed_to[pos] = len(t)
         remaining[pos] = False
 
+    # (A whole-batch pre-pass consulting the unmatched-row memo was tried
+    # and removed: it pays a dict get for EVERY row to save only the
+    # repeated-unmatched rows' master-regex fails — break-even at ~23%
+    # repeat-unmatched share, a net loss on typical streams where
+    # unparsed rows are <5%.  The memo stays consulted in the fallback
+    # loop, where only previously-unmatched rows pay for it.)
+
     # route rows to prefix-compatible cohorts instead of scanning every
     # cohort pattern sequentially.  The dispatch result depends only on the
     # first _DISPATCH_MAX_DEPTH chars, and log streams repeat those heavily
     # (program/host prefixes), so the trie descends once per DISTINCT
-    # prefix (factorize groups rows C-side) rather than once per row.
+    # prefix (factorize groups rows C-side) — and only on first sight: the
+    # per-prefix cohort tuple is memoized across batches (bounded), making
+    # steady-state dispatch pure dict hits.
     dispatch, wild_cohorts = _cohort_dispatch(crb)
-    cand_rows: dict[int, list] = {}
-    notna_idx = np.flatnonzero(notna)
+    dmemo = _dispatch_memo(crb)
+    dmemo_get = dmemo.get
+    # single-cohort rows (the overwhelmingly common case) are routed by ONE
+    # vectorized argsort over a per-row cohort-id array — at 8192 rules the
+    # old per-unique chunk lists cost ~15% of batch time in thousands of
+    # tiny np.concatenate calls.  Uniques dispatching to >1 cohort keep the
+    # chunk-list path (cand_multi).
+    cand_arr: dict[int, np.ndarray] = {}
+    cand_multi: dict[int, list] = {}
+    notna_idx = np.flatnonzero(remaining)
     if len(notna_idx):
         keys = np.array([t[:_DISPATCH_MAX_DEPTH] for t in tvals[notna_idx]],
                         dtype=object)
         codes, uniques = pd.factorize(keys)
-        order = np.argsort(codes, kind="stable")
-        sorted_idx = notna_idx[order]
-        counts = np.bincount(codes, minlength=len(uniques))
-        start = 0
-        # one trie descent per distinct prefix; plain slices of the sorted
-        # index (np.split's per-chunk machinery was measurable at many
-        # thousands of distinct prefixes)
-        for k, cnt in enumerate(counts.tolist()):
-            chunk = sorted_idx[start:start + cnt]
-            start += cnt
-            for ci in dispatch(uniques[k]):
-                cand_rows.setdefault(ci, []).append(chunk)
+        dmemo_room = _DISPATCH_MEMO_MAX - len(dmemo)
+        ucids = np.empty(len(uniques), dtype=np.int64)
+        multi_uniques: list = []
+        for k, u in enumerate(uniques.tolist()):
+            cis = dmemo_get(u)
+            if cis is None:
+                cis = tuple(dispatch(u))
+                if dmemo_room > 0:
+                    dmemo[u] = cis
+                    dmemo_room -= 1
+            if len(cis) == 1:
+                ucids[k] = cis[0]
+            elif not cis:
+                ucids[k] = -1  # no candidate cohort: straight to fallback
+            else:
+                ucids[k] = -2
+                multi_uniques.append((k, cis))
+        row_cid = ucids[codes]
+        order = np.argsort(row_cid, kind="stable")
+        rc_sorted = row_cid[order]
+        rows_sorted = notna_idx[order]
+        cids_present, seg_starts = np.unique(rc_sorted, return_index=True)
+        seg_ends = np.append(seg_starts[1:], len(rc_sorted))
+        for cid, s, e in zip(cids_present.tolist(), seg_starts.tolist(),
+                             seg_ends.tolist()):
+            if cid >= 0:
+                cand_arr[cid] = rows_sorted[s:e]
+        if multi_uniques:
+            order_c = np.argsort(codes, kind="stable")
+            sorted_idx = notna_idx[order_c]
+            counts = np.bincount(codes, minlength=len(uniques))
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            for k, cis in multi_uniques:
+                chunk = sorted_idx[starts[k]:starts[k] + counts[k]]
+                for ci in cis:
+                    cand_multi.setdefault(ci, []).append(chunk)
 
     for ci, cohort in enumerate(crb.cohorts):
         if not remaining.any():
@@ -363,13 +424,16 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
             if ci in wild_cohorts:
                 idxs = np.flatnonzero(remaining).tolist()
             else:
-                parts = cand_rows.get(ci)
-                if not parts:
+                arr = cand_arr.get(ci)
+                parts = cand_multi.get(ci)
+                if parts:
+                    arr = (np.concatenate([arr] + parts) if arr is not None
+                           else np.concatenate(parts))
+                elif arr is None:
                     continue
-                idxs = np.concatenate(parts)
                 # tolist(): the row loop below indexes python lists per row,
                 # and np.int64 positions pay a conversion on every access
-                idxs = idxs[remaining[idxs]].tolist()
+                idxs = arr[remaining[arr]].tolist()
             # one anchored fullmatch per row against the trie-factored
             # pattern for the whole cohort; the record is inlined (the
             # _record call itself was measurable at matched-heavy batches)
@@ -379,6 +443,7 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
             # per-row constants hoisted to locals (global/attribute lookups
             # cost real time at 20k+ rows per batch)
             dumps = _dumps
+            odumps = _ORJSON_DUMPS
             not_part = _NOT_PART
             attach_ = attach
             # numpy bool setitem per row is measurable; batch the flips
@@ -405,6 +470,10 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
                                 continue
                             attach_(ev, fs.name, v)
                     else:  # fast path: all captures are plain strings
+                        # (a single m.group(*ids) call was tried and is
+                        # ~30% slower than per-group calls: the argument
+                        # unpacking + result tuple cost more than the
+                        # extra C calls)
                         group = m.group
                         for gi, name in plan.simple_rev:
                             v = group(gi)
@@ -419,7 +488,14 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
                 if decorate_needed:
                     _decorate(ev, plan.rule, t)
                 rule_id[pos] = plan.rule_id
-                fields_json[pos] = dumps(ev)
+                # inlined _dumps (the wrapper call cost ~0.3us/row)
+                if odumps is not None:
+                    try:
+                        fields_json[pos] = odumps(ev).decode()
+                    except TypeError:
+                        fields_json[pos] = _dumps_std(ev)
+                else:
+                    fields_json[pos] = dumps(ev)
                 parsed_to[pos] = len(t)
                 done_add(pos)
             if done_here:
@@ -493,19 +569,24 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     if not decorate_needed:
         crb._fb_memo_bytes = fb_bytes
 
-    # per-rule constant columns, one C-level map() pass each (rule_id -1 ->
-    # the unmatched defaults)
-    tmap, fmap, lmap = _rule_meta(crb)
+    # per-rule constant columns: ONE C-level map() pass + a zip transpose
+    # (rule_id -1 -> the unmatched defaults)
+    mmap = _rule_meta(crb)
+    if n:
+        tags_col, file_col, line_col = zip(*map(mmap.__getitem__, rule_id))
+        tags_col, file_col = list(tags_col), list(file_col)
+    else:
+        tags_col, file_col, line_col = [], [], ()
     return pd.DataFrame(
         {
-            "rule_id": pd.array(rule_id, dtype="int32"),
-            "tags": list(map(tmap.__getitem__, rule_id)),
+            "rule_id": np.asarray(rule_id, dtype=np.int32),
+            "tags": tags_col,
             "fields_json": fields_json,
             "unparsed_data": unparsed,
             "originalmsg": originalmsg,
-            "parsed_to": pd.array(parsed_to, dtype="int32"),
-            "rb_file": list(map(fmap.__getitem__, rule_id)),
-            "rb_line": pd.array(list(map(lmap.__getitem__, rule_id)), dtype="int32"),
+            "parsed_to": np.asarray(parsed_to, dtype=np.int32),
+            "rb_file": file_col,
+            "rb_line": np.fromiter(line_col, dtype=np.int32, count=n),
         }
     )
 

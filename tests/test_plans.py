@@ -241,3 +241,27 @@ def test_mixture_report_aggregates_before_global_window(spark):
     assert "HashAggregate" in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_ann_batch_broadcast_bucket_join(spark):
+    """Batched ANN must be one hash-partitionable bucket equi-join with the
+    tiny query side broadcast — never a cartesian product or per-query
+    scans — and the top-k window must partition by query (no global sort
+    to a single partition)."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.similarity import lsh_topk_batch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") % 100) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    df = lsh_topk_batch(emb, queries, dim=64, k=10,
+                        nplanes=6, probe_hamming=1, n_tables=2)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partitionBy" not in plan  # sanity: no stray writer
+    # the ranking window partitions on query_id, not a single partition
+    assert "Window" in plan and "query_id" in plan.split("Window")[1][:400], plan
