@@ -642,6 +642,17 @@ def q_boilerplate_ngrams(spark, sf_dir):
     return boilerplate_ngrams(docs, min_docs=5)
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Cross-doc boilerplate REMOVAL (C4/CCNet cleaning): drop every
+    non-overlapping 3-word segment occurring in >= 5 distinct docs and
+    reassemble the survivors in order.  Non-vacuous on the corpus: 22
+    dropped segments / 135 affected docs at sf0.01."""
+    from liblognorm_spark.functions.text import strip_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_boilerplate(docs, k=3, min_docs=5)
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-doc n-gram repetition stats (Gopher-style rep signal);
     shuffle-free single-projection plan."""
@@ -929,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_nvl_sep": q_motif_nvl_sep,
         "decontaminate_k8": q_decontaminate_k8,
         "ann_batch": q_ann_batch,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -1428,6 +1440,23 @@ def oracle_sql() -> dict[str, str]:
                          )) AS ngram FROM w)
             SELECT ngram, count(*) AS n_docs FROM shd
             GROUP BY ngram HAVING count(*) >= 5""",
+        "strip_boilerplate": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+                 seg AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                                array_to_string(list_slice(ws, i * 3 + 1, i * 3 + 3), ' ') AS seg
+                         FROM w, unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS t(i)),
+                 freq AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+                                           FROM seg GROUP BY seg) WHERE nd >= 5),
+                 kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM seg s
+                          LEFT JOIN freq f USING(seg) WHERE f.seg IS NULL),
+                 agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+                                count(*) AS n_kept FROM kept GROUP BY doc_id),
+                 tot AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   CAST(t.n_segs AS BIGINT) AS n_segs,
+                   CAST(t.n_segs - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN agg a USING(doc_id)""",
         "doc_repetition": """
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                        FROM documents WHERE text IS NOT NULL),

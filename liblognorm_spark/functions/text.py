@@ -234,6 +234,71 @@ def boilerplate_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def strip_boilerplate(df, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, min_docs: int = 5):
+    """Cross-document boilerplate REMOVAL (the C4/CCNet cleaning step):
+    split each doc into consecutive non-overlapping ``k``-word segments,
+    drop every segment whose exact text occurs in at least ``min_docs``
+    DISTINCT documents, and reassemble the surviving segments in order.
+    (C4 removes repeated LINES; the synthetic corpus is single-line, so
+    the unit here is the fixed-width word segment — same discipline.)
+
+    Returns (id, clean_text, n_segs, n_removed); clean_text is '' for a
+    fully-boilerplate doc.
+
+    Scale shape: segments explode once and the frame is persisted for its
+    three consumers (frequency count, anti-join, per-doc totals); the
+    drop set is small BY CONSTRUCTION (only segments crossing the
+    min_docs bar) and is broadcast into a left-anti join; reassembly
+    sorts per doc inside the aggregation (array_sort of (seg_idx, seg)
+    structs), never a global sort."""
+    from pyspark.sql.functions import broadcast
+
+    from liblognorm_spark.functions.dedup import _persist, _spread
+
+    words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    nseg = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(F.slice(words, i * k + 1, k), " ").alias("seg"),
+        ),
+    )
+    exploded = _persist(
+        _spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.col(id_col), F.explode(segs).alias("s"))
+        .select(id_col, "s.seg_idx", "s.seg")
+    )
+    drop = (
+        exploded.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("seg")
+    )
+    kept = exploded.join(broadcast(drop), "seg", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = exploded.groupBy(id_col).agg(F.count("*").alias("n_segs"))
+    return (
+        totals.join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_segs"),
+            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def doc_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
     """Within-document repetition stats (the Gopher-style rep-ngram
     filter's raw signal): total vs distinct word n-grams per doc and the

@@ -265,3 +265,19 @@ def test_ann_batch_broadcast_bucket_join(spark):
     assert "partitionBy" not in plan  # sanity: no stray writer
     # the ranking window partitions on query_id, not a single partition
     assert "Window" in plan and "query_id" in plan.split("Window")[1][:400], plan
+
+
+def test_strip_boilerplate_broadcast_anti_join(spark):
+    """The drop set (segments over the min_docs bar — small by
+    construction) must broadcast into the anti-join; no cartesian, no
+    global single-partition window/sort anywhere."""
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+    from liblognorm_spark.functions.text import strip_boilerplate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = strip_boilerplate(docs)
+    plan = plan_of(df)
+    unpersist_dedup_caches()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -463,3 +463,27 @@ def test_boilerplate_ngrams_ground_truth(spark):
         "policy banner other": 4,
         "banner other filler": 4,
     }
+
+
+def test_strip_boilerplate_ground_truth(spark):
+    """Planted shared segments must vanish; unique segments survive in
+    original order; a fully-boilerplate doc ends up with empty text."""
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+    from liblognorm_spark.functions.text import strip_boilerplate
+
+    footer = "copyright acme corp"  # one aligned 3-word segment
+    rows = []
+    for i in range(5):
+        # doc layout: [unique seg][footer seg] — both 3 words, aligned
+        rows.append((i, f"alpha beta g{i} {footer}"))
+    rows.append((100, footer))           # fully boilerplate
+    rows.append((101, "one two three"))  # untouched
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_boilerplate(docs, k=3, min_docs=5).collect()}
+    unpersist_dedup_caches()
+    assert len(got) == 7
+    for i in range(5):
+        assert got[i]["clean_text"] == f"alpha beta g{i}"
+        assert got[i]["n_segs"] == 2 and got[i]["n_removed"] == 1
+    assert got[100]["clean_text"] == "" and got[100]["n_removed"] == 1
+    assert got[101]["clean_text"] == "one two three" and got[101]["n_removed"] == 0
