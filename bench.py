@@ -291,13 +291,7 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
             load = os.getloadavg()[0]
         return round(load, 2)
 
-    # warm up children SEQUENTIALLY (cache + JIT are the heavy part; two
-    # JVMs warming together would contend with each other)
-    procs = {}
-    for lvl in levels:
-        procs[lvl] = _spawn(lvl)
-        _read_until(procs[lvl], "READY")
-
+    procs: dict = {}
     times: dict[int, list[float]] = {lvl: [] for lvl in levels}
     loads: dict[int, list[float]] = {lvl: [] for lvl in levels}
 
@@ -321,20 +315,29 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
             return True
         return 4 in times and 1 in times and _eff(1, 4) < 0.8
 
-    for _ in range(reps):
-        _run_pair()
-    extra = 0
-    while _contended() and extra < max_extra_pairs:
-        extra += 1
-        _run_pair()
-
-    for p in procs.values():
-        try:
-            p.stdin.write("quit\n")
-            p.stdin.flush()
-            p.wait(timeout=30)
-        except Exception:
-            p.kill()
+    try:
+        # warm up children SEQUENTIALLY (cache + JIT are the heavy part;
+        # two JVMs warming together would contend with each other)
+        for lvl in levels:
+            procs[lvl] = _spawn(lvl)
+            _read_until(procs[lvl], "READY")
+        for _ in range(reps):
+            _run_pair()
+        extra = 0
+        while _contended() and extra < max_extra_pairs:
+            extra += 1
+            _run_pair()
+    finally:
+        # always reap the child JVMs — an exception (or the driver's own
+        # timeout killing this process tree) must not leak orphan JVMs
+        # that would contend with the next measurement
+        for p in procs.values():
+            try:
+                p.stdin.write("quit\n")
+                p.stdin.flush()
+                p.wait(timeout=30)
+            except Exception:
+                p.kill()
 
     curve = [
         {
