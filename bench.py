@@ -280,7 +280,11 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
             if line.startswith(prefix):
                 return line.strip()
 
-    def _wait_for_quiet(max_wait: float = 90.0) -> float:
+    def _wait_for_quiet(max_wait: float = 45.0) -> float:
+        # max_wait bounds the worst case: with 8+8 interleaved reps a
+        # persistently-busy host costs at most ~12 extra minutes, keeping
+        # the whole bench inside any reasonable driver timeout; the
+        # adaptive extra pairs (not longer waits) are the quality lever
         """Bounded wait for the host to calm down; returns the load the
         rep actually started at (recorded for transparency either way)."""
         waited = 0.0
