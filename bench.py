@@ -126,9 +126,19 @@ def main():
     # shared-host scheduling, and best-of isolates the engine's cost
     _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
     t_pipe, n_docs = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
+    pipe_times = [t_pipe]
     for _ in range(3):
         t2, _n = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
-        t_pipe = min(t_pipe, t2)
+        pipe_times.append(t2)
+    # contended-window recovery, same idea as the scaling section: a >1.5x
+    # spread means some reps hit a busy stretch, so extend the sampling
+    # window with up to 4 extra reps — best-of only needs ONE clean one
+    extra_pipe = 0
+    while (max(pipe_times) > 1.5 * min(pipe_times)) and extra_pipe < 4:
+        extra_pipe += 1
+        t2, _n = _run_pipeline_once(spark, sf_dir, n_docs_override=bench_docs)
+        pipe_times.append(t2)
+    t_pipe = min(pipe_times)
     queries["pipeline"] = round(t_pipe, 3)
     docs_per_sec = n_docs / t_pipe if t_pipe > 0 else 0.0
 
