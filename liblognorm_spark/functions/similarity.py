@@ -123,14 +123,18 @@ def brute_force_topk(emb_df, query_vec: list[float], k: int = 10,
 
 
 def _probe_buckets(qbucket: int, nplanes: int, probe_hamming: int) -> list[int]:
-    probes = {qbucket}
-    if probe_hamming >= 1:
-        for b in range(nplanes):
-            probes.add(qbucket ^ (1 << b))
-    if probe_hamming >= 2:
-        for b1 in range(nplanes):
-            for b2 in range(b1 + 1, nplanes):
-                probes.add(qbucket ^ (1 << b1) ^ (1 << b2))
+    """All buckets within `probe_hamming` bit flips of `qbucket` — every
+    XOR mask with popcount <= probe_hamming, any radius (a hand-rolled
+    radius-2 cap here once silently under-probed hamming >= 3 calls)."""
+    from itertools import combinations
+
+    probes = set()
+    for h in range(min(probe_hamming, nplanes) + 1):
+        for bits in combinations(range(nplanes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            probes.add(qbucket ^ m)
     return sorted(probes)
 
 
@@ -283,11 +287,24 @@ def lsh_topk_indexed(spark, index_path: str, query_vec: list[float], k: int = 10
     collides with the query in several tables is scored once
     (dropDuplicates on the id before scoring)."""
     dim = len(query_vec)
+    idx = spark.read.parquet(index_path)
+    if "tbl" not in idx.columns:
+        # index written by the pre-multi-table layout (partitioned by bkt
+        # only): valid for single-table queries, unreadable for more
+        if n_tables != 1:
+            raise ValueError(
+                f"{index_path} is a single-table (bkt-partitioned) index; "
+                f"rebuild with build_ann_index(..., n_tables={n_tables}) "
+                "to query multiple tables"
+            )
+        planes = _table_planes(dim, nplanes, 1)[0]
+        probes = _probe_buckets(_qbucket_planes(query_vec, planes), nplanes, probe_hamming)
+        cand = idx.where(F.col("bkt").isin(*probes))
+        return brute_force_topk(cand, query_vec, k, vec_col, id_col)
     cond = None
     for t, planes in enumerate(_table_planes(dim, nplanes, n_tables)):
         probes = _probe_buckets(_qbucket_planes(query_vec, planes), nplanes, probe_hamming)
         c = (F.col("tbl") == t) & F.col("bkt").isin(*probes)
         cond = c if cond is None else (cond | c)
-    idx = spark.read.parquet(index_path)
     cand = idx.where(cond).dropDuplicates([id_col])
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)

@@ -251,7 +251,11 @@ def strip_boilerplate(df, text_col: str = "text", id_col: str = "doc_id",
     drop set is small BY CONSTRUCTION (only segments crossing the
     min_docs bar) and is broadcast into a left-anti join; reassembly
     sorts per doc inside the aggregation (array_sort of (seg_idx, seg)
-    structs), never a global sort."""
+    structs), never a global sort.
+
+    The persisted segment frame registers in the package-wide cache
+    registry — call :func:`unpersist_caches` (exported from this module)
+    after consuming the result in long-running jobs."""
     from pyspark.sql.functions import broadcast
 
     from liblognorm_spark.functions.dedup import _persist, _spread
@@ -339,3 +343,13 @@ def mixture_report(df, strata=("lang", "source"), text_col: str = "text"):
         F.floor(F.col("n_docs") * 1000 / F.sum("n_docs").over(w)).cast("long").alias("doc_millis"),
         F.floor(F.col("n_tokens") * 1000 / F.sum("n_tokens").over(w)).cast("long").alias("token_millis"),
     )
+
+
+def unpersist_caches():
+    """Release every persisted intermediate registered by this package's
+    operators (strip_boilerplate's exploded segment frame lives in the
+    same registry the dedup module uses).  Call after consuming results
+    in long-running jobs."""
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+
+    unpersist_dedup_caches()

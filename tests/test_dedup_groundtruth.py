@@ -379,3 +379,46 @@ def test_minhash_null_text_dropped_both_methods(spark):
     pairs = minhash_lsh_pairs(docs).collect()
     unpersist_dedup_caches()
     assert not any({r["id_a"], r["id_b"]} == {2, 3} for r in pairs)
+
+
+def test_probe_buckets_any_radius():
+    """Probe masks must cover EVERY bucket within the hamming radius —
+    a hand-rolled radius-2 cap once silently under-probed hamming>=3."""
+    from math import comb
+
+    from liblognorm_spark.functions.similarity import _probe_buckets
+
+    for nplanes, h in [(6, 0), (6, 1), (6, 2), (6, 3), (8, 4)]:
+        probes = _probe_buckets(0b101010 & ((1 << nplanes) - 1), nplanes, h)
+        expect = sum(comb(nplanes, i) for i in range(h + 1))
+        assert len(probes) == expect, (nplanes, h, len(probes))
+        q = 0b101010 & ((1 << nplanes) - 1)
+        assert all(bin(p ^ q).count("1") <= h for p in probes)
+
+
+def test_indexed_ann_legacy_single_table_layout(spark, tmp_path):
+    """An index written by the old bkt-only layout (no tbl column) must
+    still answer single-table queries and reject multi-table ones with a
+    clear error."""
+    from pyspark.sql import functions as FF
+
+    from liblognorm_spark.functions.similarity import (
+        _table_planes,
+        bucket_from_planes,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "legacy_index")
+    planes = _table_planes(64, 6, 1)[0]
+    emb.select(
+        "vec_id", "embedding",
+        bucket_from_planes(FF.col("embedding"), planes).alias("bkt"),
+    ).write.partitionBy("bkt").parquet(path)
+    scan = [tuple(r) for r in lsh_topk(emb, q, k=10).collect()]
+    idx = [tuple(r) for r in lsh_topk_indexed(spark, path, q, k=10).collect()]
+    assert idx == scan
+    with pytest.raises(ValueError, match="single-table"):
+        lsh_topk_indexed(spark, path, q, k=10, n_tables=4)
