@@ -880,10 +880,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-oracle-checked — to make room for the six round-3
         # LLM-pipeline operators the driver had never green-lit.)
         "motif_number_maxval": q_motif_number_maxval,
-        "motif_float": q_motif_float,
-        "motif_ipv6": q_motif_ipv6,
-        "motif_cisco": q_motif_cisco,
         "motif_cef": q_motif_cef,
+        # round-4 LLM-pipeline operators (driver window since round 5;
+        # motif_float/ipv6/cisco rotated to the tail — each is
+        # corpus-golden-covered and stays pytest-oracle-checked there)
+        "decontaminate_k8": q_decontaminate_k8,
+        "ann_batch": q_ann_batch,
+        "strip_boilerplate": q_strip_boilerplate,
         # round-3 LLM-pipeline operators (driver window since round 4)
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "doc_repetition": q_doc_repetition,
@@ -938,9 +941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_repeat": q_motif_repeat,
         "motif_string": q_motif_string,
         "motif_nvl_sep": q_motif_nvl_sep,
-        "decontaminate_k8": q_decontaminate_k8,
-        "ann_batch": q_ann_batch,
-        "strip_boilerplate": q_strip_boilerplate,
+        "motif_float": q_motif_float,
+        "motif_ipv6": q_motif_ipv6,
+        "motif_cisco": q_motif_cisco,
     }
 
 

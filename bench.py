@@ -289,22 +289,38 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
         """Read lines until one starts with `prefix`.  Bounded: a wedged
         child JVM (stderr is discarded, so a deadlock would otherwise be
         invisible) fails the bench with an error instead of hanging it —
-        the same 1800s bound the old one-shot-per-level protocol had."""
+        the same 1800s bound the old one-shot-per-level protocol had.
+
+        Reads the RAW fd (os.read + manual line split), never the
+        TextIOWrapper: a buffered reader can hold a complete second line
+        that select() on the fd cannot see, which would spin this loop
+        until timeout if the child ever emitted a multi-line burst."""
         import select
 
+        fd = proc.stdout.fileno()
+        buf = getattr(proc, "_lls_buf", b"")
         deadline = time.monotonic() + timeout
-        while True:
-            rem = deadline - time.monotonic()
-            if rem <= 0:
-                raise RuntimeError(f"scale child timed out (waiting for {prefix})")
-            ready, _, _ = select.select([proc.stdout], [], [], min(rem, 10.0))
-            if not ready:
-                continue
-            line = proc.stdout.readline()
-            if not line:
-                raise RuntimeError(f"scale child exited (waiting for {prefix})")
-            if line.startswith(prefix):
-                return line.strip()
+        try:
+            while True:
+                while b"\n" in buf:
+                    raw, buf = buf.split(b"\n", 1)
+                    line = raw.decode("utf-8", "replace").strip()
+                    if line.startswith(prefix):
+                        return line
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    raise RuntimeError(
+                        f"scale child timed out (waiting for {prefix})")
+                ready, _, _ = select.select([fd], [], [], min(rem, 10.0))
+                if not ready:
+                    continue
+                chunk = os.read(fd, 65536)
+                if not chunk:
+                    raise RuntimeError(
+                        f"scale child exited (waiting for {prefix})")
+                buf += chunk
+        finally:
+            proc._lls_buf = buf
 
     def _wait_for_quiet(max_wait: float = 45.0) -> float:
         # max_wait bounds the worst case: with 8+8 interleaved reps a
@@ -336,6 +352,8 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
         times[lvl].append(json.loads(_read_until(p, "REP ")[4:])["t"])
 
     extra = 0
+    pre_eff = [None]       # eff(1,4) before any one-sided top-up block
+    topped_low = [False]   # whether the low-side mirror block fired
 
     def _run_group(group: list[int], check_eff: bool):
         """Spawn, interleave, retry, and reap ONE pair of levels.  Groups
@@ -364,17 +382,33 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
                 extra += 1
                 for lvl in group:
                     _run_one(procs, lvl)
-            # best-of is asymmetric for a ratio: an extra low-core rep can
-            # only LOWER the measured efficiency (numerator best), while
-            # the high-core best needs one genuinely quiet short window to
-            # be fair.  If the ratio misses the bar after the pairs, the
-            # high-core side alone gets a FIXED block of 6 more load-gated
-            # reps — fixed, not stop-at-first-crossing, so there is no
-            # optional-stopping bias: the final ratio is computed from the
-            # full sample either way.
-            if check_eff and _eff(group[0], group[-1]) < 0.8:
-                for _ in range(6):
-                    _run_one(procs, group[-1])
+            # Directional top-ups, SYMMETRIC (round-5; BENCH_r04 recorded
+            # eff(1->4)=1.006 — physically impossible — because a fully
+            # contended 1-core leg inflates the ratio and the old logic
+            # could only correct the other direction).  Each side gets at
+            # most one FIXED block of 6 load-gated reps — fixed, not
+            # stop-at-first-crossing, so there is no optional-stopping
+            # bias — and the pre-top-up ratio is recorded alongside the
+            # final one so the effect of the retry is visible:
+            #  * ratio < 0.8  -> contended HIGH-core leg is the likely
+            #    cause (its best needs one quiet short window); top up
+            #    the high side.
+            #  * ratio > 0.95 (or every low-core rep started above the
+            #    load gate) -> contended LOW-core leg inflated the
+            #    numerator; top up the low side.  Recheck after the
+            #    high-side block too, since that block can only raise
+            #    the ratio.
+            if check_eff:
+                pre_eff[0] = _eff(group[0], group[-1])
+                if pre_eff[0] < 0.8:
+                    for _ in range(6):
+                        _run_one(procs, group[-1])
+                lo = group[0]
+                if (_eff(group[0], group[-1]) > 0.95
+                        or min(loads[lo]) > _LOAD_GATE):
+                    topped_low[0] = True
+                    for _ in range(6):
+                        _run_one(procs, lo)
         finally:
             # always reap the child JVMs — an exception (or the driver's
             # own timeout killing this process tree) must not leak orphan
@@ -409,6 +443,13 @@ def _scaling_evidence(cpus: int, spark, full: bool = True) -> dict:
     if 4 in times and 1 in times:
         out["efficiency_1_to_4"] = _eff(1, 4)
         out["efficiency"] = out["efficiency_1_to_4"]  # headline N->4N pair
+        if pre_eff[0] is not None:
+            out["efficiency_pre_topup"] = pre_eff[0]
+        out["low_side_topup_run"] = topped_low[0]
+        # contended flag: any rep that started above the load gate even
+        # after the bounded quiet-wait is recorded as suspect evidence
+        out["reps_started_contended"] = sum(
+            1 for lvl in (1, 4) for ld in loads[lvl] if ld > _LOAD_GATE)
     if cpus in times and cpus // 4 in times and cpus // 4 >= 1 and cpus // 4 != cpus:
         out["efficiency_quarter_to_full"] = _eff(cpus // 4, cpus)
         out.setdefault("efficiency", out["efficiency_quarter_to_full"])

@@ -57,12 +57,14 @@ def _finalize_event(crb: CompiledRulebase, cr, ev: dict) -> dict:
 
 
 def _rule_meta(crb: CompiledRulebase):
-    """rule_id -> (tags list, rb_file, rb_line) tuple, plus the -1
-    unmatched defaults.  ONE combined map so the constant-column rebuild is
-    a single C-level map() pass + zip(*) transpose instead of three passes.
-    The tags list is ONE shared object per rule — consumers only ever read
-    it; building a fresh list per matched row was a measurable cost on
-    matched-heavy batches.  Cached on the rulebase."""
+    """Three per-rule maps (rule_id -> tags list / rb_file / rb_line),
+    each with the -1 unmatched default.  Kept as THREE separate maps on
+    purpose: a combined rule_id -> (tags, file, line) map with a zip(*)
+    transpose at the call site was tried and measured ~13% slower on
+    matched-heavy batches (see match_batch), so the three-pass rebuild is
+    the faster layout.  The tags list is ONE shared object per rule —
+    consumers only ever read it; building a fresh list per matched row was
+    a measurable cost on matched-heavy batches.  Cached on the rulebase."""
     maps = getattr(crb, "_rule_meta_cache", None)
     if maps is None:
         tmap = {-1: None}

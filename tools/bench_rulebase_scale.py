@@ -65,9 +65,31 @@ def main():
             d = time.perf_counter() - t0
             dt = d if dt is None else min(dt, d)
         unparsed = int(out["unparsed_data"].notna().sum())
+        # Transparency on the cross-batch memos (the warm numbers above
+        # replay exactly the prefixes the warm-up populated, i.e. the
+        # memo's 100%-hit best case): report the workload's distinct-
+        # prefix count, the dispatch-memo population, and a COLD column
+        # where every rep first drops the cross-batch memos — the gap
+        # between the two columns IS the memo's contribution, and the
+        # cold column is the bound for streams whose distinct-prefix set
+        # exceeds the 65536-entry memo cap or churns across batches.
+        memo_entries = len(getattr(crb, "_dispatch_memo_cache", {}) or {})
+        distinct_prefixes = len(
+            {t.split("[", 1)[0] for t in texts})  # prog{i} leading literal
+        cold = None
+        for _ in range(3):
+            for attr in ("_dispatch_memo_cache", "_fb_memo"):
+                if hasattr(crb, attr):
+                    delattr(crb, attr)
+            t0 = time.perf_counter()
+            match_batch(crb, texts)
+            d = time.perf_counter() - t0
+            cold = d if cold is None else min(cold, d)
         print(
             f"rules={n:5d} rows={len(texts)} wall={dt:6.2f}s "
-            f"rows/s={len(texts) / dt:9.0f} unparsed={unparsed}"
+            f"rows/s={len(texts) / dt:9.0f} cold_rows/s={len(texts) / cold:9.0f} "
+            f"distinct_prefixes={distinct_prefixes} memo_entries={memo_entries} "
+            f"unparsed={unparsed}"
         )
 
 
