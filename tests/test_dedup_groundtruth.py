@@ -191,6 +191,48 @@ def test_ann_multitable_recall_vs_scan(spark):
     assert scanned / n <= 0.35, f"scanned {scanned}/{n}"
 
 
+def test_ann_adaptive_spread_queries_mean_recall(spark):
+    """Round-5 adaptive probing on the SPREAD-QUERY set — the round-4
+    weakness: the fixed (8 planes, 8 tables, hamming 1) point reached
+    9/10 on query vec 0 but only a 5.7/10 MEAN over 7 spread queries at
+    25%% scanned (BASELINE.md sweep), because a query whose neighborhood
+    straddles hyperplanes fails quietly with few candidates.  Adaptive
+    per-query probing (bucket-histogram budget + query-directed
+    cheapest-flip ordering, Lv et al. multi-probe) must lift the MEAN to
+    >= 8/10 while keeping mean scanned fraction <= 35%%.  Measured at
+    commit time: recalls [8, 8, 8, 9, 8, 8, 8], mean 8.14, mean scanned
+    28.2%%, max 29.2%%."""
+    from liblognorm_spark.functions.similarity import (
+        ann_candidates_adaptive,
+        brute_force_topk,
+        bucket_histogram,
+        lsh_topk_adaptive,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    n = emb.count()
+    dim = len(emb.head()["embedding"])
+    qids = [0, 71, 142, 213, 284, 355, 426]
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.where(F.col("vec_id").isin(qids)).collect()}
+    hist = bucket_histogram(emb, dim, nplanes=8, n_tables=8)
+    recalls, scanned = [], []
+    for qid in qids:
+        q = vecs[qid]
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        cand = ann_candidates_adaptive(emb, q, nplanes=8, n_tables=8, hist=hist)
+        scanned.append(cand.count() / n)
+        approx = {r["vec_id"] for r in
+                  lsh_topk_adaptive(emb, q, k=10, nplanes=8, n_tables=8,
+                                    hist=hist).collect()}
+        recalls.append(len(exact & approx))
+    mean_recall = sum(recalls) / len(recalls)
+    mean_scanned = sum(scanned) / len(scanned)
+    assert mean_recall >= 8.0, f"mean recall@10 {mean_recall:.2f} ({recalls})"
+    assert mean_scanned <= 0.35, f"mean scanned {mean_scanned:.3f}"
+    emb.unpersist()
+
+
 def test_ann_planted_neighbors_high_recall_small_scan(spark):
     """The case ANN is actually deployed for: true neighbors are CLOSE
     (cos >= ~0.9 — near-dup embeddings).  Plant 10 perturbed copies of a
