@@ -25,6 +25,7 @@ struct-returning scalar pandas_udf (``normalize_df``) and
 
 from __future__ import annotations
 
+import bisect
 import json as _json
 from typing import Iterator
 
@@ -236,15 +237,113 @@ _DISPATCH_MEMO_MAX = 65536
 
 
 def _dispatch_memo(crb: CompiledRulebase) -> dict:
-    """prefix -> tuple(cohort ids) memo, bounded, kept across batches on
-    the compiled rulebase.  Log streams repeat their 16-char prefixes
-    (program/host names) for hours, so after warmup a batch's dispatch is
-    pure dict hits — at 8192 rules the trie descent per distinct prefix
-    was ~15%% of matched-heavy batch time."""
+    """prefix -> (tuple(cohort ids), fold entry | None) memo, bounded, kept
+    across batches on the compiled rulebase.  Log streams repeat their
+    16-char prefixes (program/host names) for hours, so after warmup a
+    batch's dispatch is pure dict hits — at 8192 rules the trie descent per
+    distinct prefix was ~15%% of matched-heavy batch time.  The fold entry
+    (see _fold_entry) rides in the SAME memo value so the sole-rule fast
+    path costs zero extra lookups per distinct prefix."""
     memo = getattr(crb, "_dispatch_memo_cache", None)
     if memo is None:
         memo = crb._dispatch_memo_cache = {}
     return memo
+
+
+def _fold_index(crb: CompiledRulebase):
+    """prefilter -> [CompiledRule] map + sorted prefilter list, cached on
+    the rulebase.  `wildcard` is True when ANY rule has no literal prefix
+    (leading motif / alternative): such a rule is prefix-compatible with
+    every message, so no prefix can ever prove a sole candidate and the
+    fold is disabled globally (the check is one cached-tuple read)."""
+    idx = getattr(crb, "_fold_idx", None)
+    if idx is None:
+        by_pref: dict = {}
+        wildcard = False
+        for cr in crb.rules:
+            p = cr.prefilter
+            if not p:
+                wildcard = True
+            by_pref.setdefault(p, []).append(cr)
+        sorted_prefs = sorted(by_pref) if not wildcard else []
+        # only the literal-prefix lengths that actually occur need probing
+        # (real rulebases have a handful); scanning every 1..len(u) cut
+        # prefix cost the cold path can't afford
+        pref_lens = sorted({len(p) for p in by_pref})
+        idx = crb._fold_idx = (by_pref, sorted_prefs, wildcard, pref_lens)
+    return idx
+
+
+def _fold_entry(crb: CompiledRulebase, u: str):
+    """If the dispatch prefix `u` PROVES (by literal-prefix analysis over
+    the whole rulebase) that exactly one rule can match any text starting
+    with `u`, return a prepared sole-rule fast-path entry; else None.
+
+    Soundness: a rule is counted compatible with `u` when its literal
+    prefix is a prefix of `u` (motifs could match anything after it) or
+    extends `u` (u is the truncated dispatch window).  That over-counts —
+    never under-counts — so a fold only exists when NO other rule could
+    possibly match, making rule-priority order irrelevant for these rows:
+    matching the sole rule's own pattern directly is exactly equivalent to
+    the cohort walk, minus the trie alternation over rules that cannot
+    match anyway.  This is the round-5 large-rulebase lever: with 8192
+    distinct program-name rules, the cohort pattern still carries a 64-way
+    branch per row; the sole-rule pattern does not."""
+    by_pref, sorted_prefs, wildcard, pref_lens = _fold_index(crb)
+    if wildcard or not u:
+        return None
+    cands: list = []
+    lu = len(u)
+    for L in pref_lens:
+        if L > lu:
+            break
+        rs = by_pref.get(u[:L])
+        if rs:
+            cands.extend(rs)
+            if len(cands) > 1:
+                return None
+    lo = bisect.bisect_left(sorted_prefs, u)
+    for i in range(lo, len(sorted_prefs)):
+        p = sorted_prefs[i]
+        if not p.startswith(u):
+            break
+        if len(p) > len(u):  # == u already counted in the loop above
+            cands.extend(by_pref[p])
+            if len(cands) > 1:
+                return None
+    if len(cands) != 1:
+        return None
+    cr = cands[0]
+    if cr.pattern is None:
+        return None  # walker-only sole rule: keep the exact walker path
+    # the entry tail is per-RULE, not per-prefix: cache it so the many
+    # prefixes that map to one rule (sshd[1], sshd[2], ... with a 16+ char
+    # dispatch window) build it once
+    ent = getattr(cr, "_fold_ent", None)
+    if ent is None:
+        gi = cr.pattern.groupindex
+        simple_rev = tuple((gi[g], nm) for g, nm in reversed(cr.simple_specs))
+        # constant-JSON tail: extra_fields (tags + annotations) are per-rule
+        # constants serialized identically on every matched row.  When the
+        # rule is simple (flat string captures only — parsed keys are
+        # exactly the spec names) and no extra key collides with a parsed
+        # field name, the serialized tail can be byte-concatenated after
+        # the parsed fields instead of dict-updated + reserialized per row.
+        # Key ORDER in the output is unchanged: parsed fields first, then
+        # extras — same as the ev.update() path.
+        tail = None
+        if _ORJSON_DUMPS is not None and cr.extra_fields and not cr.complex_specs:
+            names = {nm for _, nm in cr.simple_specs}
+            if names.isdisjoint(cr.extra_fields):
+                try:
+                    tail = b"," + _ORJSON_DUMPS(cr.extra_fields)[1:]
+                except TypeError:
+                    tail = None
+        ent = cr._fold_ent = (
+            cr.pattern.fullmatch, simple_rev, tuple(reversed(cr.specs)),
+            bool(cr.complex_specs), cr.extra_fields, cr.rule_id, cr.rule,
+            tail)
+    return ent
 
 
 def _exec_path_of(crb: CompiledRulebase, rule) -> str:
@@ -381,6 +480,7 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
     # chunk-list path (cand_multi).
     cand_arr: dict[int, np.ndarray] = {}
     cand_multi: dict[int, list] = {}
+    fold_uniques: list = []
     notna_idx = np.flatnonzero(remaining)
     if len(notna_idx):
         keys = np.array([t[:_DISPATCH_MAX_DEPTH] for t in tvals[notna_idx]],
@@ -399,50 +499,143 @@ def match_batch(crb: CompiledRulebase, texts: pd.Series,
                 chunk = sorted_idx[start:start + cnt]
                 start += cnt
                 u = uniques[k]
-                cis = dmemo_get(u)
-                if cis is None:
-                    cis = tuple(dispatch(u))
+                ent = dmemo_get(u)
+                if ent is None:
                     if dmemo_room > 0:
-                        dmemo[u] = cis
+                        # the fold entry is only worth BUILDING when it
+                        # will be memoized: un-cached, its construction
+                        # cost dwarfs the ~2-row payoff
+                        ent = (tuple(dispatch(u)), _fold_entry(crb, u))
+                        dmemo[u] = ent
                         dmemo_room -= 1
-                for ci in cis:
+                    else:
+                        ent = (tuple(dispatch(u)), None)
+                # the small-prefix-count path skips the sole-rule fold:
+                # with <=64 uniques the cohort chunk lists amortize fine
+                for ci in ent[0]:
                     cand_multi.setdefault(ci, []).append(chunk)
         else:
             ucids = np.empty(len(uniques), dtype=np.int64)
             multi_uniques: list = []
+            fold_uniques: list = []
             for k, u in enumerate(uniques.tolist()):
-                cis = dmemo_get(u)
-                if cis is None:
-                    cis = tuple(dispatch(u))
+                ent = dmemo_get(u)
+                if ent is None:
                     if dmemo_room > 0:
-                        dmemo[u] = cis
+                        ent = (tuple(dispatch(u)), _fold_entry(crb, u))
+                        dmemo[u] = ent
                         dmemo_room -= 1
-                if len(cis) == 1:
+                    else:
+                        ent = (tuple(dispatch(u)), None)
+                cis, fold = ent
+                if fold is not None:
+                    ucids[k] = -3  # sole-rule fast path, rows taken below
+                    fold_uniques.append((k, fold))
+                elif len(cis) == 1:
                     ucids[k] = cis[0]
                 elif not cis:
                     ucids[k] = -1  # no candidate cohort: straight to fallback
                 else:
                     ucids[k] = -2
                     multi_uniques.append((k, cis))
-            row_cid = ucids[codes]
-            order = np.argsort(row_cid, kind="stable")
-            rc_sorted = row_cid[order]
-            rows_sorted = notna_idx[order]
-            cids_present, seg_starts = np.unique(rc_sorted, return_index=True)
-            seg_ends = np.append(seg_starts[1:], len(rc_sorted))
-            for cid, s, e in zip(cids_present.tolist(), seg_starts.tolist(),
-                                 seg_ends.tolist()):
-                if cid >= 0:
-                    cand_arr[cid] = rows_sorted[s:e]
-            if multi_uniques:
+            if len(fold_uniques) < len(uniques):
+                row_cid = ucids[codes]
+                order = np.argsort(row_cid, kind="stable")
+                rc_sorted = row_cid[order]
+                rows_sorted = notna_idx[order]
+                cids_present, seg_starts = np.unique(rc_sorted, return_index=True)
+                seg_ends = np.append(seg_starts[1:], len(rc_sorted))
+                for cid, s, e in zip(cids_present.tolist(), seg_starts.tolist(),
+                                     seg_ends.tolist()):
+                    if cid >= 0:
+                        cand_arr[cid] = rows_sorted[s:e]
+            # (every unique folded -> no cohort-routing argsort needed)
+            if multi_uniques or fold_uniques:
                 order_c = np.argsort(codes, kind="stable")
                 sorted_idx = notna_idx[order_c]
+                # ONE bulk tolist: the fold loop slices this plain list per
+                # unique (C-level, ~2-3 rows each) — per-unique numpy
+                # slice+tolist cost ~6% of batch time at 8192 prefixes
+                rows_by_code = sorted_idx.tolist()
                 counts = np.bincount(codes, minlength=len(uniques))
                 starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                counts_l = counts.tolist()
+                starts_l = starts.tolist()
                 for k, cis in multi_uniques:
                     chunk = sorted_idx[starts[k]:starts[k] + counts[k]]
                     for ci in cis:
                         cand_multi.setdefault(ci, []).append(chunk)
+
+    # sole-rule fast path: rows whose dispatch prefix proves a single
+    # candidate rule match that rule's OWN pattern directly — same
+    # extraction semantics as the cohort body below, minus the cohort
+    # trie's alternation over rules the prefix already ruled out.  A miss
+    # here is definitive (the one compatible rule failed), so the row
+    # falls through to the unmatched-diagnostics path like any other
+    # regex miss; Reject still routes to the exact walker.
+    if fold_uniques:
+        dumps = _dumps
+        odumps = _ORJSON_DUMPS
+        not_part = _NOT_PART
+        attach_ = attach
+        done_here: list = []
+        done_add = done_here.append
+        for k, ent in fold_uniques:
+            (ffullmatch, fsimple_rev, fspecs_rev, fhas_complex,
+             fextra, frid, frule, ftail) = ent
+            # the tail shortcut changes key ORDER if decoration inserts
+            # keys after extras; decoration is off on the Spark hot path
+            use_tail = ftail is not None and not decorate_needed
+            s = starts_l[k]
+            for pos in rows_by_code[s:s + counts_l[k]]:
+                t = tvals[pos]
+                m = ffullmatch(t)
+                if m is None:
+                    continue
+                try:
+                    ev: dict = {}
+                    if fhas_complex:
+                        for fs in fspecs_rev:
+                            v = fs.extract(m, t, types)
+                            if v is not_part:
+                                continue
+                            attach_(ev, fs.name, v)
+                    else:
+                        group = m.group
+                        for gi, name in fsimple_rev:
+                            v = group(gi)
+                            if v is not None:
+                                ev[name] = v
+                except Reject:
+                    need_walker[pos] = True
+                    done_add(pos)
+                    continue
+                if use_tail and ev:
+                    try:
+                        fields_json[pos] = (odumps(ev)[:-1] + ftail).decode()
+                    except TypeError:
+                        ev.update(fextra)
+                        fields_json[pos] = _dumps_std(ev)
+                    rule_id[pos] = frid
+                    parsed_to[pos] = len(t)
+                    done_add(pos)
+                    continue
+                if fextra:
+                    ev.update(fextra)
+                if decorate_needed:
+                    _decorate(ev, frule, t)
+                rule_id[pos] = frid
+                if odumps is not None:
+                    try:
+                        fields_json[pos] = odumps(ev).decode()
+                    except TypeError:
+                        fields_json[pos] = _dumps_std(ev)
+                else:
+                    fields_json[pos] = dumps(ev)
+                parsed_to[pos] = len(t)
+                done_add(pos)
+        if done_here:
+            remaining[done_here] = False
 
     for ci, cohort in enumerate(crb.cohorts):
         if not remaining.any():
