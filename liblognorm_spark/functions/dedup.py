@@ -527,8 +527,23 @@ def dedup_clusters(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def bench_ngram_set(bench_df, text_col: str = "text", ngram_k: int = SHINGLE_K):
+    """Distinct word n-grams of a benchmark set — the broadcast side of
+    decontaminate().  Exposed separately so incremental callers (the
+    streaming path re-joins every micro-batch) can compute it ONCE,
+    persist it, and reuse it instead of re-aggregating the benchmark per
+    batch."""
+    return (
+        bench_df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.array_distinct(
+            _word_shingles(F.col(text_col), k=ngram_k))).alias("ngram"))
+        .distinct()
+    )
+
+
 def decontaminate(df, bench_df, text_col: str = "text", id_col: str = "doc_id",
-                  min_shared: int = 10, ngram_k: int = SHINGLE_K):
+                  min_shared: int = 10, ngram_k: int = SHINGLE_K,
+                  bench_ngrams=None):
     """Benchmark decontamination: flag documents sharing at least
     ``min_shared`` DISTINCT word ``ngram_k``-grams with the union of a
     benchmark set's n-grams — the standard pre-training check that eval
@@ -541,12 +556,13 @@ def decontaminate(df, bench_df, text_col: str = "text", id_col: str = "doc_id",
     corpus) is reduced to its distinct n-grams and BROADCAST; the corpus
     side is a projection (per-doc array_distinct before the explode) into
     a broadcast hash join + one count shuffle.  Returns
-    (id, n_shared_ngrams) for flagged documents."""
-    bench_ngrams = (
-        bench_df.where(F.col(text_col).isNotNull())
-        .select(F.explode(F.array_distinct(_word_shingles(F.col(text_col), k=ngram_k))).alias("ngram"))
-        .distinct()
-    )
+    (id, n_shared_ngrams) for flagged documents.
+
+    ``bench_ngrams`` (a DataFrame from :func:`bench_ngram_set`, possibly
+    persisted) short-circuits the benchmark aggregation for callers that
+    amortize it across many invocations."""
+    if bench_ngrams is None:
+        bench_ngrams = bench_ngram_set(bench_df, text_col, ngram_k)
     doc_ngrams = _spread(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.explode(F.array_distinct(_word_shingles(F.col(text_col), k=ngram_k))).alias("ngram"),

@@ -150,3 +150,54 @@ def dedup_stream(stream_df, key_cols=("url",), ts_col: str = "warc_ts",
     # including the event time here would let same-key rows with different
     # timestamps through, which is not deduplication
     return wm.dropDuplicates(cols)
+
+
+def decontaminate_stream(doc_stream, bench_df, out_dir: str,
+                         checkpoint_dir: str, text_col: str = "text",
+                         id_col: str = "doc_id", min_shared: int = 10,
+                         ngram_k: int | None = None):
+    """Incremental benchmark decontamination — the streaming parity for
+    the training-data tier: as documents arrive, each micro-batch joins
+    its docs' word n-grams against the benchmark n-gram set and appends
+    the flagged (id, n_shared_ngrams) rows to ``out_dir``.
+
+    Scale shape: the benchmark side is aggregated to its distinct n-grams
+    ONCE before the stream starts (:func:`bench_ngram_set`), persisted,
+    and broadcast into every micro-batch's hash join — per batch the only
+    work is the batch's own explode + broadcast join + count, the same
+    plan the batch operator uses (functions/dedup.py:decontaminate), so
+    batch and stream agree per micro-batch by construction.
+
+    Restart discipline matches start_fanout_query: the per-epoch write is
+    idempotent (partitioned by epoch, dynamic partition overwrite), so a
+    replayed micro-batch overwrites exactly its own output;
+    checkpointLocation makes a restart skip committed epochs entirely."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.dedup import (
+        SHINGLE_K,
+        bench_ngram_set,
+        decontaminate,
+    )
+
+    k = SHINGLE_K if ngram_k is None else ngram_k
+    bench_ngrams = bench_ngram_set(bench_df, text_col, k).persist()
+    bench_ngrams.count()  # materialize once, before the first micro-batch
+
+    def write_batch(df, epoch_id: int):
+        flagged = decontaminate(
+            df, None, text_col=text_col, id_col=id_col,
+            min_shared=min_shared, ngram_k=k, bench_ngrams=bench_ngrams,
+        ).withColumn("epoch", F.lit(epoch_id))
+        (
+            flagged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -487,3 +487,56 @@ def test_strip_boilerplate_ground_truth(spark):
         assert got[i]["n_segs"] == 2 and got[i]["n_removed"] == 1
     assert got[100]["clean_text"] == "" and got[100]["n_removed"] == 1
     assert got[101]["clean_text"] == "one two three" and got[101]["n_removed"] == 0
+
+
+def test_streaming_decontaminate_incremental_with_restart(spark, tmp_path):
+    """foreachBatch incremental decontaminate (round 5): per micro-batch
+    the stream runs the SAME broadcast-join plan as the batch operator
+    against a once-persisted benchmark n-gram set, so the union of all
+    epochs must equal the batch result on the same input — verified here
+    across a stop/restart boundary (checkpoint resume, no duplicates),
+    with PLANTED leaks so the comparison is never empty==empty."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.dedup import decontaminate
+    from liblognorm_spark.streaming.stream import decontaminate_stream
+
+    docs_all = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bench = docs_all.where("doc_id % 97 = 3")
+    leaked = bench.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs_all.where("doc_id % 97 <> 3").unionByName(leaked)
+    expected = {(r["doc_id"], r["n_shared_ngrams"])
+                for r in decontaminate(corpus, bench).collect()}
+    leaked_ids = {r["doc_id"] for r in leaked.collect()}
+    assert leaked_ids <= {d for d, _ in expected}  # planted leaks flagged
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = corpus.where("doc_id % 2 = 0")
+    half2 = corpus.where("doc_id % 2 = 1")
+    half1.write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        return decontaminate_stream(stream, bench, out, ckpt)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart with the same checkpoint: only the NEW files are processed
+    half2.write.mode("append").parquet(src)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got_rows = spark.read.parquet(out)
+    got = {(r["doc_id"], r["n_shared_ngrams"]) for r in got_rows.collect()}
+    assert got == expected
+    # committed epochs were not replayed: each doc flagged exactly once
+    assert got_rows.count() == len(expected)
