@@ -764,6 +764,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ann_adaptive(spark, sf_dir):
+    """Adaptive per-query ANN (round 5): probes are ordered query-directed
+    (cheapest hyperplane flips first, Lv et al. multi-probe) and grown
+    against the bucket histogram until the estimated candidate count
+    reaches 35%% of the corpus — every query buys the same candidate
+    budget instead of failing quietly when its buckets are thin.  The
+    DuckDB twin replays the ENTIRE plan relationally: margins, probe
+    costs, the greedy running-sum cutoff, candidate filter, and top-k."""
+    from liblognorm_spark.functions.similarity import lsh_topk_adaptive
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk_adaptive(emb, _query_vec(spark, sf_dir), k=10,
+                             nplanes=8, n_tables=8)
+
+
 def q_ann_batch(spark, sf_dir):
     """Batched multi-query ANN: every vec_id % 100 == 0 row queries the
     corpus at once through ONE bucket equi-join (2 tables x 6 planes,
@@ -879,7 +894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the tail — each is corpus-golden-covered and stays
         # pytest-oracle-checked — to make room for the six round-3
         # LLM-pipeline operators the driver had never green-lit.)
-        "motif_number_maxval": q_motif_number_maxval,
         "motif_cef": q_motif_cef,
         # round-4 LLM-pipeline operators (driver window since round 5;
         # motif_float/ipv6/cisco rotated to the tail — each is
@@ -920,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_adaptive": q_ann_adaptive,
         "media_decode": q_media_decode,
         "media_decode_real": q_media_decode_real,
         "frame_sample": q_frame_sample,
@@ -944,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_float": q_motif_float,
         "motif_ipv6": q_motif_ipv6,
         "motif_cisco": q_motif_cisco,
+        "motif_number_maxval": q_motif_number_maxval,
     }
 
 
@@ -1258,6 +1274,76 @@ def _ann_batch_oracle(dim: int = 64, nplanes: int = 6, n_tables: int = 2,
         FROM r WHERE rn <= {k}"""
 
 
+def _ann_adaptive_oracle(dim: int = 64, nplanes: int = 8, n_tables: int = 8,
+                         target_frac: float = 0.35, max_hamming: int = 3,
+                         k: int = 10) -> str:
+    """Exact DuckDB twin of lsh_topk_adaptive (similarity.py): the WHOLE
+    adaptive plan is replayed relationally —
+      pl       the 64 (table, plane) hyperplanes as literal rows,
+      eb       per-(row, table) sign buckets (fold-left dots, exact twin),
+      hist     the bucket histogram,
+      qd/qm    the query's per-plane margins |q.p|/|q|,
+      probes   every XOR mask with popcount <= max_hamming per table, cost
+               = sum of flipped planes' margins in ascending-bit order
+               (matches Python's combinations() fold),
+      sel      running candidate-count in (cost, tbl, bucket) order with an
+               explicit ROWS frame; a probe is chosen iff the cumulative
+               count BEFORE it is under target_frac * corpus-size — the
+               greedy include-then-break loop's exact membership rule,
+      cand     rows matching any chosen (tbl, bucket) in their table,
+    then the same trunc(cos*1e6) top-k as every other ANN oracle."""
+    from liblognorm_spark.functions.similarity import _table_planes
+
+    tables = _table_planes(dim, nplanes, n_tables)
+    plane_rows = ", ".join(
+        f"({t}, {p}, {2 ** p}, {_plane_literal(pl)}::DOUBLE[])"
+        for t, planes in enumerate(tables) for p, pl in enumerate(planes)
+    )
+    rng = f"range(1, {dim + 1})"
+    qdot = (f"list_reduce(list_transform({rng}, i -> q.qv[i] * pl.pv[i]), "
+            f"(x, y) -> x + y)")
+    edot = (f"list_reduce(list_transform({rng}, i -> e.v[i] * pl.pv[i]), "
+            f"(x, y) -> x + y)")
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        qn AS (SELECT sqrt(list_reduce(list_transform({rng}, i -> qv[i] * qv[i]),
+                                       (x, y) -> x + y)) AS qn FROM q),
+        pl(t, p, w, pv) AS (VALUES {plane_rows}),
+        eb AS (SELECT e.vec_id, pl.t,
+                      CAST(sum(CASE WHEN {edot} >= 0 THEN pl.w ELSE 0 END) AS BIGINT) AS bkt
+               FROM e, pl GROUP BY e.vec_id, pl.t),
+        hist AS (SELECT t, bkt, count(*) AS cnt FROM eb GROUP BY t, bkt),
+        qd AS (SELECT pl.t, pl.p, pl.w, {qdot} AS qdot FROM pl, q),
+        qbt AS (SELECT t, CAST(sum(CASE WHEN qdot >= 0 THEN w ELSE 0 END) AS BIGINT) AS qbkt
+                FROM qd GROUP BY t),
+        qm AS (SELECT t, list(abs(qdot) / (SELECT qn FROM qn) ORDER BY p) AS marr
+               FROM qd GROUP BY t),
+        masks AS (SELECT m FROM range(0, {2 ** nplanes}) r(m)
+                  WHERE bit_count(m) <= {max_hamming}),
+        probes AS (SELECT qbt.t, xor(qbt.qbkt, masks.m) AS bkt,
+                          CASE WHEN masks.m = 0 THEN 0.0
+                               ELSE list_reduce(list_transform(
+                                        list_filter(range(0, {nplanes}),
+                                                    b -> ((masks.m >> b) & 1) = 1),
+                                        b -> qm.marr[b + 1]), (x, y) -> x + y)
+                          END AS cost
+                   FROM qbt JOIN qm USING (t), masks),
+        sel AS (SELECT t, bkt,
+                       sum(coalesce(hist.cnt, 0)) OVER (
+                           ORDER BY cost, t, bkt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - coalesce(hist.cnt, 0) AS cum_before
+                FROM probes LEFT JOIN hist USING (t, bkt)),
+        chosen AS (SELECT t, bkt FROM sel
+                   WHERE cum_before < {target_frac} * (SELECT count(*) FROM e)),
+        cand AS (SELECT DISTINCT eb.vec_id
+                 FROM eb JOIN chosen ON eb.t = chosen.t AND eb.bkt = chosen.bkt),
+        s AS (SELECT e.vec_id,
+                     CAST(trunc({_cos_sql("e.v", "q.qv", dim)} * 1000000) AS BIGINT) AS cos_micros
+              FROM e JOIN cand USING (vec_id), q)
+        SELECT vec_id, cos_micros FROM s ORDER BY cos_micros DESC, vec_id LIMIT {k}"""
+
+
 def _media_ctes(doc_limit: int, wrap: bool) -> str:
     s = "'<html>' || text || '</html>'" if wrap else "text"
     return f"""
@@ -1297,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "ann_batch": _ann_batch_oracle(),
+        "ann_adaptive": _ann_adaptive_oracle(),
         "media_decode": _media_decode_oracle(),
         # real-codec roundtrip: the oracle recomputes every decoded field
         # (incl. the exact pixel sum) from doc_id, independent of the codec

@@ -281,3 +281,27 @@ def test_strip_boilerplate_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_ann_adaptive_is_filter_only_scan(spark):
+    """Adaptive ANN's candidate stage must be a pure FILTER over the
+    corpus (bucket expressions folded into the predicate — no join, no
+    cartesian, no exchange beyond the final top-k), with all planning
+    driver-side on the tiny bucket histogram.  The histogram pass itself
+    is one hash aggregate."""
+    from liblognorm_spark.functions.similarity import (
+        ann_candidates_adaptive,
+        bucket_histogram,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.head()["embedding"])
+    q = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    hist = bucket_histogram(emb, dim, nplanes=8, n_tables=8)
+    cand = ann_candidates_adaptive(emb, q, nplanes=8, n_tables=8, hist=hist)
+    plan = plan_of(cand)
+    assert "Filter" in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                "BroadcastHashJoin", "Exchange"):
+        assert bad not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
