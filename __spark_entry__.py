@@ -779,6 +779,22 @@ def q_ann_adaptive(spark, sf_dir):
                              nplanes=8, n_tables=8)
 
 
+def q_ann_batch_adaptive(spark, sf_dir):
+    """Adaptive BATCH ANN: same one-pass bucket equi-join as ann_batch,
+    but each query's probe set is planned driver-side against the bucket
+    histogram (query-directed multi-probe, 35%% candidate budget), so no
+    query silently returns a starved candidate set.  Per-query results
+    are identical to lsh_topk_adaptive by construction."""
+    from liblognorm_spark.functions.similarity import lsh_topk_batch_adaptive
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") % 100) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk_batch_adaptive(emb, queries, dim=64, k=10,
+                                   nplanes=8, n_tables=8)
+
+
 def q_ann_batch(spark, sf_dir):
     """Batched multi-query ANN: every vec_id % 100 == 0 row queries the
     corpus at once through ONE bucket equi-join (2 tables x 6 planes,
@@ -960,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_ipv6": q_motif_ipv6,
         "motif_cisco": q_motif_cisco,
         "motif_number_maxval": q_motif_number_maxval,
+        "ann_batch_adaptive": q_ann_batch_adaptive,
     }
 
 
@@ -1344,6 +1361,73 @@ def _ann_adaptive_oracle(dim: int = 64, nplanes: int = 8, n_tables: int = 8,
         SELECT vec_id, cos_micros FROM s ORDER BY cos_micros DESC, vec_id LIMIT {k}"""
 
 
+def _ann_batch_adaptive_oracle(dim: int = 64, nplanes: int = 8,
+                               n_tables: int = 8, target_frac: float = 0.35,
+                               max_hamming: int = 3, k: int = 10) -> str:
+    """_ann_adaptive_oracle generalized to MANY queries: every per-query
+    stage (margins, buckets, probe costs, the greedy running-sum cutoff)
+    is partitioned by query_id; the rest is identical."""
+    from liblognorm_spark.functions.similarity import _table_planes
+
+    tables = _table_planes(dim, nplanes, n_tables)
+    plane_rows = ", ".join(
+        f"({t}, {p}, {2 ** p}, {_plane_literal(pl)}::DOUBLE[])"
+        for t, planes in enumerate(tables) for p, pl in enumerate(planes)
+    )
+    rng = f"range(1, {dim + 1})"
+    qdot = (f"list_reduce(list_transform({rng}, i -> q.qv[i] * pl.pv[i]), "
+            f"(x, y) -> x + y)")
+    edot = (f"list_reduce(list_transform({rng}, i -> e.v[i] * pl.pv[i]), "
+            f"(x, y) -> x + y)")
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv,
+                     sqrt(list_reduce(list_transform({rng}, i -> v[i] * v[i]),
+                                      (x, y) -> x + y)) AS qn
+              FROM e WHERE vec_id % 100 = 0),
+        pl(t, p, w, pv) AS (VALUES {plane_rows}),
+        eb AS (SELECT e.vec_id, pl.t,
+                      CAST(sum(CASE WHEN {edot} >= 0 THEN pl.w ELSE 0 END) AS BIGINT) AS bkt
+               FROM e, pl GROUP BY e.vec_id, pl.t),
+        hist AS (SELECT t, bkt, count(*) AS cnt FROM eb GROUP BY t, bkt),
+        qd AS (SELECT q.query_id, pl.t, pl.p, pl.w, {qdot} AS qdot, q.qn
+               FROM pl, q),
+        qbt AS (SELECT query_id, t,
+                       CAST(sum(CASE WHEN qdot >= 0 THEN w ELSE 0 END) AS BIGINT) AS qbkt
+                FROM qd GROUP BY query_id, t),
+        qm AS (SELECT query_id, t, list(abs(qdot) / qn ORDER BY p) AS marr
+               FROM qd GROUP BY query_id, t),
+        masks AS (SELECT m FROM range(0, {2 ** nplanes}) r(m)
+                  WHERE bit_count(m) <= {max_hamming}),
+        probes AS (SELECT qbt.query_id, qbt.t, xor(qbt.qbkt, masks.m) AS bkt,
+                          CASE WHEN masks.m = 0 THEN 0.0
+                               ELSE list_reduce(list_transform(
+                                        list_filter(range(0, {nplanes}),
+                                                    b -> ((masks.m >> b) & 1) = 1),
+                                        b -> qm.marr[b + 1]), (x, y) -> x + y)
+                          END AS cost
+                   FROM qbt JOIN qm USING (query_id, t), masks),
+        sel AS (SELECT query_id, t, bkt,
+                       sum(coalesce(hist.cnt, 0)) OVER (
+                           PARTITION BY query_id ORDER BY cost, t, bkt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - coalesce(hist.cnt, 0) AS cum_before
+                FROM probes LEFT JOIN hist USING (t, bkt)),
+        chosen AS (SELECT query_id, t, bkt FROM sel
+                   WHERE cum_before < {target_frac} * (SELECT count(*) FROM e)),
+        cand AS (SELECT DISTINCT c.query_id, eb.vec_id
+                 FROM eb JOIN chosen c ON eb.t = c.t AND eb.bkt = c.bkt),
+        s AS (SELECT cand.query_id, e.vec_id,
+                     CAST(trunc({_cos_sql("e.v", "q.qv", dim)} * 1000000) AS BIGINT) AS cos_micros
+              FROM cand JOIN e ON e.vec_id = cand.vec_id
+                        JOIN q ON q.query_id = cand.query_id),
+        r AS (SELECT query_id, vec_id, cos_micros,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_micros DESC, vec_id) AS rn
+              FROM s)
+        SELECT query_id, vec_id, cos_micros, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= {k}"""
+
+
 def _media_ctes(doc_limit: int, wrap: bool) -> str:
     s = "'<html>' || text || '</html>'" if wrap else "text"
     return f"""
@@ -1384,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "ann_batch": _ann_batch_oracle(),
         "ann_adaptive": _ann_adaptive_oracle(),
+        "ann_batch_adaptive": _ann_batch_adaptive_oracle(),
         "media_decode": _media_decode_oracle(),
         # real-codec roundtrip: the oracle recomputes every decoded field
         # (incl. the exact pixel sum) from doc_id, independent of the codec

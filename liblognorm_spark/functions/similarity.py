@@ -370,6 +370,77 @@ def lsh_topk_batch(emb_df, query_df, dim: int, k: int = 10,
     )
 
 
+def lsh_topk_batch_adaptive(emb_df, query_df, dim: int, k: int = 10,
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            query_vec_col: str = "embedding",
+                            query_id_col: str = "query_id",
+                            nplanes: int = 8, n_tables: int = 8,
+                            target_frac: float = 0.35,
+                            max_hamming: int = 3, hist: dict = None):
+    """Batched ANN with a PER-QUERY candidate budget — the adaptive
+    variant of lsh_topk_batch: still one pass over the corpus for all
+    queries (bucket equi-join, broadcast probe side, no cartesian), but
+    each query's probe set is planned independently against the bucket
+    histogram with query-directed ordering, so a query whose buckets are
+    thin widens its probes instead of silently returning a starved
+    candidate set.
+
+    Planning is driver-side over the COLLECTED query vectors — the batch
+    query side is tiny and broadcast by construction (hundreds to a few
+    thousand queries); the probe table it emits is
+    O(n_queries * n_tables * probes) small rows.  The result per query is
+    IDENTICAL to lsh_topk_adaptive on the same corpus (same plan, same
+    scores) — pinned by test.
+
+    Returns (query_id, vec_id, cos_micros, rn), rn = 1..k per query."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    spark = emb_df.sparkSession
+    if hist is None:
+        hist = bucket_histogram(emb_df, dim, vec_col, nplanes, n_tables)
+    qrows = query_df.select(query_id_col, query_vec_col).collect()
+    probe_rows = []
+    qvec_rows = []
+    for r in qrows:
+        qid = r[0]
+        qv = [float(x) for x in r[1]]
+        qvec_rows.append((qid, qv))
+        plan = adaptive_probe_plan(hist, qv, nplanes, n_tables,
+                                   target_frac, max_hamming)
+        for t, bs in plan.items():
+            probe_rows.extend((qid, t, b) for b in bs)
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, tbl int, bkt long")
+    qvecs = spark.createDataFrame(
+        qvec_rows, f"{query_id_col} long, _qv array<double>")
+    tables = _table_planes(dim, nplanes, n_tables)
+    corpus = emb_df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     bucket_from_planes(F.col(vec_col), planes)
+                     .cast("long").alias("bkt"))
+            for t, planes in enumerate(tables)
+        ])).alias("tb"),
+    ).select(id_col, vec_col, F.col("tb.tbl").cast("int").alias("tbl"),
+             "tb.bkt")
+    cand = (
+        corpus.join(broadcast(probes), ["tbl", "bkt"])
+        .dropDuplicates([query_id_col, id_col])
+        .join(broadcast(qvecs), query_id_col)
+    )
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col),
+        (cosine_expr(F.col(vec_col), F.col("_qv")) * 1000000)
+        .cast("long").alias("cos_micros"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_micros").desc(), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k))
+
+
 def build_ann_index(emb_df, path: str, dim: int,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     nplanes: int = 6, n_tables: int = 1):

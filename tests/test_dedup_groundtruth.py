@@ -464,3 +464,36 @@ def test_indexed_ann_legacy_single_table_layout(spark, tmp_path):
     assert idx == scan
     with pytest.raises(ValueError, match="single-table"):
         lsh_topk_indexed(spark, path, q, k=10, n_tables=4)
+
+
+def test_ann_batch_adaptive_matches_single_query_adaptive(spark):
+    """lsh_topk_batch_adaptive must return, per query, EXACTLY the rows
+    lsh_topk_adaptive returns for that query vector (same histogram, same
+    plan, same scores) — the batch path is a packaging of the single-query
+    plan into one corpus pass, never a different algorithm."""
+    from liblognorm_spark.functions.similarity import (
+        bucket_histogram,
+        lsh_topk_adaptive,
+        lsh_topk_batch_adaptive,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    dim = len(emb.head()["embedding"])
+    queries = emb.where((F.col("vec_id") % 100) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    batch = lsh_topk_batch_adaptive(emb, queries, dim=dim, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_micros"]))
+    hist = bucket_histogram(emb, dim, nplanes=8, n_tables=8)
+    qids = sorted(by_q)
+    assert len(qids) >= 3
+    for qid in qids:
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == qid).head()["embedding"]]
+        single = [(r["vec_id"], r["cos_micros"]) for r in
+                  lsh_topk_adaptive(emb, qv, k=10, nplanes=8, n_tables=8,
+                                    hist=hist).collect()]
+        got = sorted(by_q[qid], key=lambda x: (-x[1], x[0]))
+        assert got == single, f"query {qid} differs"
+    emb.unpersist()

@@ -305,3 +305,22 @@ def test_ann_adaptive_is_filter_only_scan(spark):
                 "BroadcastHashJoin", "Exchange"):
         assert bad not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ann_batch_adaptive_broadcast_probe_join(spark):
+    """The adaptive batch path must stay a broadcast bucket equi-join
+    (probe table and query vectors both broadcast) — no cartesian, no
+    per-query scans — with the ranking window partitioned by query."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.similarity import lsh_topk_batch_adaptive
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") % 100) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    df = lsh_topk_batch_adaptive(emb, queries, dim=64, k=10)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan and "query_id" in plan.split("Window")[1][:400], plan
