@@ -951,7 +951,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_adaptive": q_ann_adaptive,
-        "media_decode": q_media_decode,
+        # round-5 batch-adaptive ANN (driver window since round 5; the
+        # md5-stub media_decode variant rotated to the tail — its real
+        # codec twin media_decode_real stays in-window, and the stub
+        # stays pytest-oracle-checked in the tail)
+        "ann_batch_adaptive": q_ann_batch_adaptive,
         "media_decode_real": q_media_decode_real,
         "frame_sample": q_frame_sample,
         "frame_sample_real": q_frame_sample_real,
@@ -976,7 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_ipv6": q_motif_ipv6,
         "motif_cisco": q_motif_cisco,
         "motif_number_maxval": q_motif_number_maxval,
-        "ann_batch_adaptive": q_ann_batch_adaptive,
+        "media_decode": q_media_decode,
     }
 
 
