@@ -653,6 +653,31 @@ def q_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate(docs, k=3, min_docs=5)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated-SPAN detection (exact substring dedup at
+    word granularity, Lee et al. 2022): overlapping 5-word shingles seen
+    in >= 2 distinct docs mark duplicate token intervals (the single
+    globally-first occurrence is the kept copy); per-doc
+    overlapping/adjacent intervals merge into maximal spans.  Non-vacuous
+    on the corpus: ~1.1k duplicated shingles / ~2.3k occurrences at
+    sf0.01."""
+    from liblognorm_spark.functions.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, k=5, min_docs=2)
+
+
+def q_excise_spans(spark, sf_dir):
+    """Exact substring dedup REMOVAL: drop every token covered by a
+    duplicate 5-word-shingle occurrence (first copy survives) and
+    reassemble the survivors in order; one row per doc with removal
+    counts."""
+    from liblognorm_spark.functions.dedup import excise_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return excise_duplicate_spans(docs, k=5, min_docs=2)
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-doc n-gram repetition stats (Gopher-style rep signal);
     shuffle-free single-projection plan."""
@@ -981,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_cisco": q_motif_cisco,
         "motif_number_maxval": q_motif_number_maxval,
         "media_decode": q_media_decode,
+        "duplicate_spans": q_duplicate_spans,
+        "excise_spans": q_excise_spans,
     }
 
 
@@ -1635,6 +1662,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
                    CAST(t.n_segs AS BIGINT) AS n_segs,
                    CAST(t.n_segs - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN agg a USING(doc_id)""",
+        # duplicate_spans / excise_spans: same occurrence frame (occ) in
+        # both — every overlapping 5-word shingle with its 0-based start,
+        # keyed by full md5; a shingle in >= 2 distinct docs is duplicated
+        # and every occurrence except the globally-first (min string key
+        # ordering exactly like (doc_id, start)) is a duplicate interval.
+        "duplicate_spans": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+                 occ AS (SELECT doc_id, CAST(s AS INTEGER) AS start,
+                                md5(CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
+                                         ELSE array_to_string(list_slice(ws, s + 1, s + 5), ' ') END) AS h,
+                                lpad(CAST(doc_id AS VARCHAR), 18, '0') || ':' ||
+                                lpad(CAST(s AS VARCHAR), 9, '0') AS okey
+                         FROM w, unnest(CASE WHEN len(ws) < 5 THEN [CAST(0 AS BIGINT)]
+                                             ELSE range(0, len(ws) - 4) END) AS u(s)),
+                 st AS (SELECT h, min(okey) AS fo FROM occ GROUP BY h
+                        HAVING count(DISTINCT doc_id) >= 2),
+                 dup AS (SELECT o.doc_id, o.start FROM occ o JOIN st USING(h)
+                         WHERE o.okey <> st.fo),
+                 isl AS (SELECT doc_id, start,
+                                CASE WHEN max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                                       OR start > max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                                     THEN 1 ELSE 0 END AS ni
+                         FROM dup),
+                 isl2 AS (SELECT doc_id, start,
+                                 sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+                          FROM isl)
+            SELECT doc_id, CAST(min(start) AS INTEGER) AS span_start,
+                   CAST(max(start) + 4 AS INTEGER) AS span_end,
+                   CAST(max(start) + 4 - min(start) + 1 AS INTEGER) AS span_tokens
+            FROM isl2 GROUP BY doc_id, island""",
+        "excise_spans": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+                 occ AS (SELECT doc_id, CAST(s AS INTEGER) AS start,
+                                md5(CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
+                                         ELSE array_to_string(list_slice(ws, s + 1, s + 5), ' ') END) AS h,
+                                lpad(CAST(doc_id AS VARCHAR), 18, '0') || ':' ||
+                                lpad(CAST(s AS VARCHAR), 9, '0') AS okey
+                         FROM w, unnest(CASE WHEN len(ws) < 5 THEN [CAST(0 AS BIGINT)]
+                                             ELSE range(0, len(ws) - 4) END) AS u(s)),
+                 st AS (SELECT h, min(okey) AS fo FROM occ GROUP BY h
+                        HAVING count(DISTINCT doc_id) >= 2),
+                 dup AS (SELECT o.doc_id, o.start FROM occ o JOIN st USING(h)
+                         WHERE o.okey <> st.fo),
+                 cov AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos
+                         FROM dup, unnest(range(CAST(start AS BIGINT), CAST(start AS BIGINT) + 5)) AS u(p)),
+                 tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
+                         FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+                 kept AS (SELECT t.doc_id, t.pos, t.word FROM tok t
+                          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+                          WHERE c.doc_id IS NULL),
+                 agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                                count(*) AS n_kept FROM kept GROUP BY doc_id),
+                 tot AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tokens FROM w)
+            SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, t.n_tokens,
+                   CAST(t.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
             FROM tot t LEFT JOIN agg a USING(doc_id)""",
         "doc_repetition": """
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws

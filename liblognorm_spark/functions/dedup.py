@@ -574,3 +574,156 @@ def decontaminate(df, bench_df, text_col: str = "text", id_col: str = "doc_id",
         .groupBy(id_col).agg(F.count("*").alias("n_shared_ngrams"))
         .where(F.col("n_shared_ngrams") >= min_shared)
     )
+
+
+# ------------------------------------------------- exact substring spans
+
+
+def _span_occurrences(df, text_col: str, id_col: str, k: int):
+    """One row per overlapping k-word shingle occurrence:
+    (id, start, h, okey) where ``start`` is the 0-based token offset,
+    ``h`` the full md5 of the shingle text (128-bit — no collision
+    handling needed even at 100 TB shingle counts), and ``okey`` a
+    string that orders exactly like (doc_id, start) — the portable
+    stand-in for a struct min, which DuckDB cannot aggregate."""
+    words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    occs = F.when(n < k, F.array(F.struct(
+        F.lit(0).alias("start"), F.array_join(words, " ").alias("sh")))
+    ).otherwise(F.transform(idx, lambda i: F.struct(
+        i.alias("start"), F.array_join(F.slice(words, i + 1, k), " ").alias("sh"))))
+    return (
+        _spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.col(id_col), F.explode(occs).alias("o"))
+        .select(
+            F.col(id_col),
+            F.col("o.start").alias("start"),
+            F.md5(F.col("o.sh")).alias("h"),
+            F.concat_ws(
+                ":",
+                F.lpad(F.col(id_col).cast("string"), 18, "0"),
+                F.lpad(F.col("o.start").cast("string"), 9, "0"),
+            ).alias("okey"),
+        )
+    )
+
+
+def _duplicate_occurrences(df, text_col: str, id_col: str, k: int,
+                           min_docs: int):
+    """Duplicate shingle occurrences: every occurrence of a shingle seen
+    in >= ``min_docs`` DISTINCT docs EXCEPT the single globally-first
+    occurrence (smallest (doc_id, start)), which is the kept copy.
+    Returns (id, start).  The occurrence frame is persisted — it feeds
+    both the per-shingle aggregate and the join back."""
+    occ = _persist(_span_occurrences(df, text_col, id_col, k))
+    stats = (
+        occ.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"), F.min("okey").alias("first_okey"))
+        .where(F.col("nd") >= min_docs)
+        .select("h", "first_okey")
+    )
+    return (
+        occ.join(stats, "h")
+        .where(F.col("okey") != F.col("first_okey"))
+        .select(id_col, "start")
+    )
+
+
+def duplicate_spans(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5, min_docs: int = 2):
+    """Cross-document duplicated-SPAN detection — the word-granular form
+    of exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every overlapping
+    ``k``-word shingle occurring in >= ``min_docs`` distinct documents
+    marks a duplicated token interval [start, start+k-1], except the one
+    globally-first occurrence (smallest (doc_id, start)), which is the
+    copy the corpus keeps.  Per document, overlapping/adjacent intervals
+    merge into maximal spans (gaps-and-islands over a per-doc window).
+
+    Returns one row per merged span: (id, span_start, span_end,
+    span_tokens), token offsets 0-based inclusive.
+
+    Scale shape: the shingle explode is one projection pass (n_tokens
+    rows/doc); the only wide shuffles are the per-shingle aggregate
+    (map-side combinable count/min on the md5 key) and the equi-join
+    back on that key.  The window runs per-doc over only the DUPLICATE
+    occurrences — bounded by doc length, never corpus-wide.  The
+    persisted occurrence frame registers in the dedup cache registry
+    (unpersist_dedup_caches())."""
+    from pyspark.sql.window import Window
+
+    dup = _duplicate_occurrences(df, text_col, id_col, k, min_docs)
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max(F.col("start") + F.lit(k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.select(
+        F.col(id_col), F.col("start"),
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), F.lit(1))
+        .otherwise(F.lit(0)).alias("new_island"),
+    )
+    islands = flagged.select(
+        F.col(id_col), F.col("start"),
+        F.sum("new_island").over(w).alias("island"),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_start"),
+            F.col("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def excise_duplicate_spans(df, text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 5, min_docs: int = 2):
+    """Exact substring dedup REMOVAL: drop every token covered by a
+    duplicate shingle occurrence (see :func:`duplicate_spans` — the
+    globally-first copy of each duplicated shingle survives) and
+    reassemble the remaining tokens in order.  Returns one row per input
+    doc: (id, clean_text, n_tokens, n_removed).
+
+    Scale shape: covered positions come from exploding each duplicate
+    occurrence into its k offsets (k is a small constant) and the
+    removal is a left-anti equi-join on (id, pos) — hash-partitionable;
+    NOT broadcast, because a duplication-heavy web crawl can have a
+    large covered set.  Reassembly sorts per doc inside the aggregation
+    (array_sort of (pos, word) structs), never a global sort."""
+    dup = _duplicate_occurrences(df, text_col, id_col, k, min_docs)
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias("pos"),
+    ).distinct()
+
+    words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(words).alias("pos", "word"))
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.size(words).alias("n_tokens"))
+    )
+    return totals.join(clean, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+    )

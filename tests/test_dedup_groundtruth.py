@@ -497,3 +497,80 @@ def test_ann_batch_adaptive_matches_single_query_adaptive(spark):
         got = sorted(by_q[qid], key=lambda x: (-x[1], x[0]))
         assert got == single, f"query {qid} differs"
     emb.unpersist()
+
+
+# ------------------------------------------- exact substring spans
+
+
+def test_duplicate_spans_planted(spark):
+    """Planted cross-doc 5-gram duplicates: the globally-first occurrence
+    is kept, every other occurrence becomes a span, overlapping shingles
+    from a shared 7-token run merge into ONE maximal span, and two
+    separated duplicated runs in one doc stay two islands."""
+    from liblognorm_spark.functions.dedup import (duplicate_spans,
+                                                  unpersist_dedup_caches)
+
+    P = "p1 p2 p3 p4 p5"          # 5-token planted phrase
+    Q = "q1 q2 q3 q4 q5 q6 q7"    # 7-token run -> 3 overlapping shingles
+    docs = spark.createDataFrame(
+        [
+            (0, f"u1 u2 {P} u3 u4"),          # first occurrence of P: kept
+            (1, f"v1 {P} v2"),                # dup of P at start=1
+            (2, "w1 w2 w3 w4 w5 w6"),         # unique -> no rows
+            (3, f"{Q} x1"),                   # first occurrence of Q: kept
+            (4, f"y1 {Q} y2 y3 y4 {P}"),      # merged Q span + separate P span
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in duplicate_spans(docs, k=5, min_docs=2).collect()}
+    unpersist_dedup_caches()
+    assert rows == {
+        (1, 1, 5, 5),    # P copy in doc 1
+        (4, 1, 7, 7),    # Q's 3 overlapping shingles merged: tokens 1-7
+        (4, 11, 15, 5),  # P copy after the gap: second island
+    }, rows
+
+
+def test_excise_spans_planted(spark):
+    """Excision drops exactly the duplicate-covered tokens and keeps the
+    first copy intact; untouched docs round-trip."""
+    from liblognorm_spark.functions.dedup import (excise_duplicate_spans,
+                                                  unpersist_dedup_caches)
+
+    P = "p1 p2 p3 p4 p5"
+    docs = spark.createDataFrame(
+        [
+            (0, f"u1 u2 {P} u3 u4"),
+            (1, f"v1 {P} v2"),
+            (2, "w1 w2 w3 w4 w5 w6"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           excise_duplicate_spans(docs, k=5, min_docs=2).collect()}
+    unpersist_dedup_caches()
+    assert out[0].clean_text == f"u1 u2 {P} u3 u4" and out[0].n_removed == 0
+    assert out[1].clean_text == "v1 v2" and out[1].n_removed == 5
+    assert out[1].n_tokens == 7
+    assert out[2].clean_text == "w1 w2 w3 w4 w5 w6" and out[2].n_removed == 0
+
+
+def test_span_ops_invariant_under_partitioning(spark):
+    """The keep-first rule is a global min, not a partition-local one:
+    results are identical whether the corpus arrives in 1 or 13
+    partitions."""
+    from liblognorm_spark.functions.dedup import (duplicate_spans,
+                                                  excise_duplicate_spans,
+                                                  unpersist_dedup_caches)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {tuple(r) for r in duplicate_spans(docs, k=5, min_docs=2).collect()}
+    b = {tuple(r) for r in
+         duplicate_spans(docs.repartition(13), k=5, min_docs=2).collect()}
+    ea = {tuple(r) for r in excise_duplicate_spans(docs, k=5, min_docs=2).collect()}
+    eb = {tuple(r) for r in
+          excise_duplicate_spans(docs.coalesce(1), k=5, min_docs=2).collect()}
+    unpersist_dedup_caches()
+    assert a == b and len(a) > 0
+    assert ea == eb

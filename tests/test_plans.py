@@ -324,3 +324,34 @@ def test_ann_batch_adaptive_broadcast_probe_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan and "query_id" in plan.split("Window")[1][:400], plan
+
+
+def test_duplicate_spans_no_cartesian_no_global_window(spark):
+    """Span detection: the shingle-stats join is an equi-join on the md5
+    key (never cartesian) and the gaps-and-islands window partitions by
+    doc — no single-partition stage anywhere."""
+    from liblognorm_spark.functions.dedup import (duplicate_spans,
+                                                  unpersist_dedup_caches)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(duplicate_spans(docs))
+    unpersist_dedup_caches()
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_excise_spans_anti_join_no_cartesian(spark):
+    """Excision removes covered tokens via a hash-partitioned LeftAnti
+    equi-join on (doc, pos) — deliberately NOT broadcast (the covered
+    set scales with corpus duplication) — and reassembles per-doc inside
+    the aggregate, never via a global sort."""
+    from liblognorm_spark.functions.dedup import (excise_duplicate_spans,
+                                                  unpersist_dedup_caches)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(excise_duplicate_spans(docs))
+    unpersist_dedup_caches()
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
