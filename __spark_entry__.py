@@ -782,6 +782,33 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, min_cos_millis=350, dim=64)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embedding table (k=8, 2
+    iterations, init = the 8 smallest-id vectors): final (vec_id,
+    cluster) assignment.  Centroids are literal plan constants, so the
+    assignment is a pure projection; each training iteration is one
+    8-key map-side-combined shuffle; centroid sums are integer-scaled
+    (floor(x*2^24+0.5)) so the result is bit-identical under any
+    partitioning — which is what makes this exactly oracle-checkable."""
+    from liblognorm_spark.functions.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=8, iters=2)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then drop
+    every vector whose cluster holds a smaller-id vector with cosine >=
+    0.35 (fixture-scaled like embedding_near_dups: the synthetic
+    embeddings are near-random, max pairwise cos ~0.51).  One row per
+    dropped vector with its representative.  Candidates come only from
+    the cluster equi-join — never a global cross join."""
+    from liblognorm_spark.functions.clustering import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, k=8, iters=2, threshold=0.35)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from liblognorm_spark.functions.similarity import lsh_topk
 
@@ -1008,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "duplicate_spans": q_duplicate_spans,
         "excise_spans": q_excise_spans,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1392,6 +1421,80 @@ def _ann_adaptive_oracle(dim: int = 64, nplanes: int = 8, n_tables: int = 8,
         SELECT vec_id, cos_micros FROM s ORDER BY cos_micros DESC, vec_id LIMIT {k}"""
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-Lloyd CTE chain replicating clustering.kmeans_fit +
+    the final assignment, bit-exactly: init = the k smallest-id vectors
+    (cluster index in id order); per iteration, assignment = argmax
+    cosine with ties to the lowest cluster (row_number cos DESC, cluster
+    == Spark's array_position-of-first-max), centroid update = integer-
+    scaled sums floor(x*2^24+0.5) — order-independent, so the engines
+    agree regardless of partitioning — and an empty cluster keeps its
+    previous centroid (LEFT JOIN + coalesce).  Ends with asgf(vec_id,
+    cluster), the post-iteration assignment."""
+    scale = 1 << 24
+    ctes = [
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE embedding IS NOT NULL)""",
+        f"""cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                             v AS cent
+                      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(1, iters + 1):
+        p = it - 1
+        ctes += [
+            f"""a{it} AS (SELECT e.vec_id, c.cluster,
+                                 {_cos_sql("e.v", "c.cent", dim)} AS cos
+                          FROM e CROSS JOIN cent{p} c)""",
+            f"""asg{it} AS (SELECT vec_id, cluster FROM (
+                              SELECT vec_id, cluster,
+                                     row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cluster) AS rn
+                              FROM a{it}) WHERE rn = 1)""",
+            f"""sp{it} AS (SELECT a.cluster, unnest(e.v) AS x,
+                                  generate_subscripts(e.v, 1) AS d
+                           FROM e JOIN asg{it} a USING (vec_id))""",
+            f"""s{it} AS (SELECT cluster, d,
+                                 CAST(sum(CAST(floor(x * {float(scale)} + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                                 count(*) AS cnt
+                          FROM sp{it} GROUP BY cluster, d)""",
+            f"""cent{it} AS (SELECT c.cluster, coalesce(n.cent, c.cent) AS cent
+                             FROM cent{p} c LEFT JOIN
+                               (SELECT cluster,
+                                       list(CAST(s AS DOUBLE) / CAST({scale} * cnt AS DOUBLE)
+                                            ORDER BY d) AS cent
+                                FROM s{it} GROUP BY cluster) n USING (cluster))""",
+        ]
+    ctes.append(
+        f"""asgf AS (SELECT vec_id, cluster FROM (
+                       SELECT e.vec_id, c.cluster,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql("e.v", "c.cent", dim)} DESC,
+                                           c.cluster) AS rn
+                       FROM e CROSS JOIN cent{iters} c) WHERE rn = 1)"""
+    )
+    return ",\n ".join(ctes)
+
+
+def _kmeans_assign_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    return f"WITH {_kmeans_ctes(k, iters, dim)}\nSELECT vec_id, cluster FROM asgf"
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 2, dim: int = 64,
+                     threshold: float = 0.35) -> str:
+    """SemDeDup twin: k-means CTEs, then within-cluster pairs (equi-join
+    on cluster, id_a < id_b, cosine >= threshold) grouped per dropped
+    vector."""
+    return f"""WITH {_kmeans_ctes(k, iters, dim)},
+ pairs AS (SELECT ea.vec_id AS id_a, eb.vec_id AS id_b, fa.cluster
+           FROM e ea JOIN asgf fa ON ea.vec_id = fa.vec_id
+                JOIN asgf fb ON fa.cluster = fb.cluster
+                JOIN e eb ON eb.vec_id = fb.vec_id
+           WHERE ea.vec_id < eb.vec_id
+             AND {_cos_sql("ea.v", "eb.v", dim)} >= CAST({threshold!r} AS DOUBLE))
+SELECT id_b AS vec_id, cluster, min(id_a) AS rep_id, count(*) AS n_sims
+FROM pairs GROUP BY id_b, cluster"""
+
+
 def _ann_batch_adaptive_oracle(dim: int = 64, nplanes: int = 8,
                                n_tables: int = 8, target_frac: float = 0.35,
                                max_hamming: int = 3, k: int = 10) -> str:
@@ -1498,6 +1601,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "ann_batch": _ann_batch_oracle(),
+        "kmeans_assign": _kmeans_assign_oracle(),
+        "semdedup": _semdedup_oracle(),
         "ann_adaptive": _ann_adaptive_oracle(),
         "ann_batch_adaptive": _ann_batch_adaptive_oracle(),
         "media_decode": _media_decode_oracle(),
