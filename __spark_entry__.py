@@ -782,6 +782,21 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, min_cos_millis=350, dim=64)
 
 
+BM25_TERMS = ["customer", "window", "merge"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-15 for a literal 3-term query: one tiny stats aggregate
+    (N, total tokens, per-term document frequencies — collected as
+    ~5 scalars), then a pure scoring projection with every corpus
+    constant folded in as a literal + TakeOrdered.  No explode, no
+    inverted index, no shuffle beyond the two reductions."""
+    from liblognorm_spark.functions.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_TERMS, k=15)
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Deterministic Lloyd k-means over the embedding table (k=8, 2
     iterations, init = the 8 smallest-id vectors): final (vec_id,
@@ -1037,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excise_spans": q_excise_spans,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
+        "bm25": q_bm25,
     }
 
 
@@ -1421,6 +1437,40 @@ def _ann_adaptive_oracle(dim: int = 64, nplanes: int = 8, n_tables: int = 8,
         SELECT vec_id, cos_micros FROM s ORDER BY cos_micros DESC, vec_id LIMIT {k}"""
 
 
+def _bm25_oracle(terms=None, k: int = 15, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 twin: N/avgdl/df computed IN SQL from the same table (the
+    Spark path computes them driver-side; ln() resolves to the same
+    libm as CPython's math.log on one host), score expression shaped
+    token-for-token like search.bm25_topk's fold — 0.0 + term0 + term1
+    + ..., (idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
+    — and trunc() before the BIGINT cast because DuckDB's cast rounds
+    where Spark's truncates."""
+    terms = BM25_TERMS if terms is None else terms
+    tf = lambda t: f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
+    avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+    parts = ["0.0"]
+    for i, t in enumerate(terms):
+        idf = f"ln((st.n - st.df{i} + 0.5) / (st.df{i} + 0.5) + 1.0)"
+        parts.append(
+            f"{idf} * ({tf(t)} * {k1 + 1.0!r}) / ({tf(t)} + {k1!r} * "
+            f"({1.0 - b!r} + {b!r} * (CAST(len(ws) AS DOUBLE) / {avgdl})))")
+    dfs = ",\n               ".join(
+        f"count(*) FILTER (WHERE len(list_filter(ws, x -> x = '{t}')) > 0) AS df{i}"
+        for i, t in enumerate(terms))
+    score = "\n              + ".join(parts)
+    return f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                   FROM documents WHERE text IS NOT NULL),
+             st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ws)) AS BIGINT) AS sdl,
+               {dfs}
+                    FROM w),
+             sc AS (SELECT w.doc_id,
+                           CAST(trunc(({score}) * 1000000.0) AS BIGINT) AS score_micros
+                    FROM w CROSS JOIN st)
+        SELECT doc_id, score_micros FROM sc WHERE score_micros > 0
+        ORDER BY score_micros DESC, doc_id LIMIT {k}"""
+
+
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """Unrolled-Lloyd CTE chain replicating clustering.kmeans_fit +
     the final assignment, bit-exactly: init = the k smallest-id vectors
@@ -1603,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch": _ann_batch_oracle(),
         "kmeans_assign": _kmeans_assign_oracle(),
         "semdedup": _semdedup_oracle(),
+        "bm25": _bm25_oracle(),
         "ann_adaptive": _ann_adaptive_oracle(),
         "ann_batch_adaptive": _ann_batch_adaptive_oracle(),
         "media_decode": _media_decode_oracle(),
