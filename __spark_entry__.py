@@ -958,32 +958,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the exact driver comparison on every tail entry so nothing is
     # builder-verified only.
     return {
-        # pipeline / engine
-        "pipeline_sink_counts": q_pipeline_sink_counts,
+        # pipeline / engine  (round 5 rotated pipeline_sink_counts —
+        # superseded in-window by its strict superset — plus
+        # parse_json_motif / parse_net / motif_cef, each corpus-golden-
+        # covered, and the md5-stub frame_sample — whose real-codec twin
+        # stays — to the tail, making room for the five round-5
+        # operators: duplicate_spans, excise_spans, kmeans_assign,
+        # semdedup, bm25.  Every displaced entry stays oracle-checked by
+        # tests/test_oracle_tail.py.)
         "pipeline_sink_counts_strict": q_pipeline_sink_counts_strict,
         "parse_sshd": q_parse_sshd,
         "parse_ident": q_parse_ident,
         "parse_iptables": q_parse_iptables,
         "parse_kv": q_parse_kv,
-        "parse_json_motif": q_parse_json_motif,
-        "parse_net": q_parse_net,
         "unparsed_diag": q_unparsed_diag,
         "tags_explode": q_tags_explode,
         "enrich_lang": q_enrich_lang,
         "parse_rate": q_parse_rate,
-        # per-motif micros (hardest parameter spaces kept in-window;
-        # the rest sit past 50, corpus- and pytest-covered.  Round 4
-        # rotated motif_dates/rfc5424/repeat/string/nvl_sep/checkpoint_lea
-        # to the tail — each is corpus-golden-covered and stays
-        # pytest-oracle-checked — to make room for the six round-3
-        # LLM-pipeline operators the driver had never green-lit.)
-        "motif_cef": q_motif_cef,
         # round-4 LLM-pipeline operators (driver window since round 5;
         # motif_float/ipv6/cisco rotated to the tail — each is
         # corpus-golden-covered and stays pytest-oracle-checked there)
         "decontaminate_k8": q_decontaminate_k8,
         "ann_batch": q_ann_batch,
         "strip_boilerplate": q_strip_boilerplate,
+        # round-5 LLM-pipeline operators
+        "duplicate_spans": q_duplicate_spans,
+        "excise_spans": q_excise_spans,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
+        "bm25": q_bm25,
         # round-3 LLM-pipeline operators (driver window since round 4)
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "doc_repetition": q_doc_repetition,
@@ -1024,7 +1027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays pytest-oracle-checked in the tail)
         "ann_batch_adaptive": q_ann_batch_adaptive,
         "media_decode_real": q_media_decode_real,
-        "frame_sample": q_frame_sample,
         "frame_sample_real": q_frame_sample_real,
         # ---- position 51+ (driver tail; oracle-checked by pytest) ----
         "motif_hexnumber": q_motif_hexnumber,
@@ -1048,11 +1050,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_cisco": q_motif_cisco,
         "motif_number_maxval": q_motif_number_maxval,
         "media_decode": q_media_decode,
-        "duplicate_spans": q_duplicate_spans,
-        "excise_spans": q_excise_spans,
-        "kmeans_assign": q_kmeans_assign,
-        "semdedup": q_semdedup,
-        "bm25": q_bm25,
+        # round-5 rotations out of the window (see the head comment)
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "parse_json_motif": q_parse_json_motif,
+        "parse_net": q_parse_net,
+        "motif_cef": q_motif_cef,
+        "frame_sample": q_frame_sample,
     }
 
 

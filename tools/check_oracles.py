@@ -47,6 +47,15 @@ def main():
     import __spark_entry__ as E
     from liblognorm_spark.session import get_spark
 
+    # an unknown name (a typo, or flag-style args this positional CLI
+    # doesn't take) must be a hard error: a filter that matches nothing
+    # once printed "all queries match their oracles" after checking NONE
+    unknown = only - set(E.queries())
+    if unknown:
+        print(f"unknown query names (usage: check_oracles.py SF_DIR [name ...]): "
+              f"{sorted(unknown)}")
+        sys.exit(2)
+
     spark = get_spark(app="check_oracles", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
