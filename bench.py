@@ -157,6 +157,11 @@ def main():
         "knn_cosine",
         "tpch_q1",
         "events_window",
+        # round-5 operators (timed so regressions show up per-round;
+        # the comparison keys above stay unchanged for cross-round diffs)
+        "duplicate_spans",
+        "semdedup",
+        "bm25",
     ):
         fn = E.queries()[name]
         q_times: list = []
