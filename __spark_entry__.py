@@ -782,6 +782,19 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, min_cos_millis=350, dim=64)
 
 
+def q_unigram_nll(spark, sf_dir):
+    """Per-doc mean unigram negative log-likelihood under the corpus's
+    own unigram distribution (the CCNet perplexity-filter proxy).  ln
+    never runs JVM-side (Math.log differs from glibc in the last ulp on
+    ~7% of inputs): the Zipf-small distinct count values map to scaled
+    integer NLLs on the driver with CPython/glibc ln, then everything is
+    order-independent integer arithmetic."""
+    from liblognorm_spark.functions.text import unigram_nll
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_nll(docs)
+
+
 BM25_TERMS = ["customer", "window", "merge"]
 
 
@@ -972,7 +985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_iptables": q_parse_iptables,
         "parse_kv": q_parse_kv,
         "unparsed_diag": q_unparsed_diag,
-        "tags_explode": q_tags_explode,
         "enrich_lang": q_enrich_lang,
         "parse_rate": q_parse_rate,
         # round-4 LLM-pipeline operators (driver window since round 5;
@@ -987,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
         "bm25": q_bm25,
+        "unigram_nll": q_unigram_nll,
         # round-3 LLM-pipeline operators (driver window since round 4)
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "doc_repetition": q_doc_repetition,
@@ -1050,7 +1063,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_cisco": q_motif_cisco,
         "motif_number_maxval": q_motif_number_maxval,
         "media_decode": q_media_decode,
-        # round-5 rotations out of the window (see the head comment)
+        # round-5 rotations out of the window (see the head comment;
+        # tags_explode displaced by unigram_nll — tagging stays
+        # corpus-golden + CLI covered, and the query stays oracle-checked
+        # here in the tail)
+        "tags_explode": q_tags_explode,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "parse_json_motif": q_parse_json_motif,
         "parse_net": q_parse_net,
@@ -1657,6 +1674,26 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _kmeans_assign_oracle(),
         "semdedup": _semdedup_oracle(),
         "bm25": _bm25_oracle(),
+        # unigram_nll: DuckDB's ln IS glibc ln — the same libm the Spark
+        # path's driver-side CPython math.log resolves to — so the scaled
+        # integer NLL per distinct count value matches bit-exactly; all
+        # downstream arithmetic is integer (order-independent sums,
+        # integer division for the mean)
+        "unigram_nll": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+                 tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+                 voc AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+                 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM voc),
+                 nm AS (SELECT cnt,
+                               CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                                          * 1048576.0) AS BIGINT) AS nll
+                        FROM (SELECT DISTINCT cnt FROM voc) CROSS JOIN tot),
+                 sc AS (SELECT t.doc_id, n.nll
+                        FROM tok t JOIN voc v USING (word) JOIN nm n USING (cnt))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   (CAST(sum(nll) AS BIGINT) * 1000000) // (count(*) * 1048576) AS mean_nll_micros
+            FROM sc GROUP BY doc_id""",
         "ann_adaptive": _ann_adaptive_oracle(),
         "ann_batch_adaptive": _ann_batch_adaptive_oracle(),
         "media_decode": _media_decode_oracle(),

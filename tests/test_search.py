@@ -78,3 +78,78 @@ def test_bm25_plan_is_projection_plus_takeordered(spark):
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
+
+
+# ------------------------------------------------------- unigram NLL
+
+
+def test_unigram_nll_exact_values(spark):
+    """Spark result equals a from-scratch Python computation of the
+    scaled-integer NLL pipeline (floor(-ln(cnt/total)*2^20), long sums,
+    integer-division mean)."""
+    import math
+
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+    from liblognorm_spark.functions.text import unigram_nll
+
+    corpus = {0: "a a a b", 1: "a b c", 2: "c d"}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.mean_nll_micros)
+           for r in unigram_nll(docs).collect()}
+    unpersist_dedup_caches()
+
+    toks = {i: t.split() for i, t in corpus.items()}
+    allw = [w for ws in toks.values() for w in ws]
+    total = len(allw)
+    cnt = {w: allw.count(w) for w in set(allw)}
+    nll = {c: math.floor(-math.log(float(c) / float(total)) * 1048576.0)
+           for c in set(cnt.values())}
+    exp = {}
+    for i, ws in toks.items():
+        s = sum(nll[cnt[w]] for w in ws)
+        exp[i] = (len(ws), (s * 1000000) // (len(ws) * 1048576))
+    assert got == exp, (got, exp)
+
+
+def test_unigram_nll_rare_tokens_score_higher(spark):
+    """A doc made of hapaxes must out-score a doc made of the most
+    common token."""
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+    from liblognorm_spark.functions.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(0, "common common common common common common"),
+         (1, "rare1 rare2 rare3"),
+         (2, "common common common")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.mean_nll_micros for r in unigram_nll(docs).collect()}
+    unpersist_dedup_caches()
+    assert got[1] > got[0] and got[1] > got[2]
+
+
+def test_unigram_nll_invariant_under_partitioning(spark):
+    """Long sums + integer division: identical output for 1 vs 13
+    input partitions."""
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+    from liblognorm_spark.functions.text import unigram_nll
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {tuple(r) for r in unigram_nll(docs.coalesce(1)).collect()}
+    b = {tuple(r) for r in unigram_nll(docs.repartition(13)).collect()}
+    unpersist_dedup_caches()
+    assert a == b and len(a) > 0
+
+
+def test_unigram_nll_plan_broadcasts_count_map(spark):
+    """The (cnt -> nll) frame broadcasts into the vocab; the word join
+    is an equi-join; nothing cartesian or single-partition."""
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+    from liblognorm_spark.functions.text import unigram_nll
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = unigram_nll(docs)._jdf.queryExecution().executedPlan().toString()
+    unpersist_dedup_caches()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
