@@ -59,12 +59,30 @@ def _lit_vec(values):
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def _cos_to_literal(vec, cent):
+    """cosine(vec, literal centroid) with the centroid's norm folded in
+    as a driver-computed constant — half the per-row work and half the
+    codegen expression size of cosine_expr(vec, lit(cent)).  Bit-parity
+    with the oracle's in-SQL norm is exact: Python's sum() folds left
+    from 0 like list_reduce (0.0 + x == x) and math.sqrt is IEEE."""
+    import math
+
+    from liblognorm_spark.functions.similarity import dot_expr, norm_expr
+
+    cn = math.sqrt(sum(v * v for v in cent))
+    d = dot_expr(vec, _lit_vec(cent))
+    nv = norm_expr(vec)
+    if cn == 0.0:
+        return F.lit(0.0)
+    return F.when(nv == 0, F.lit(0.0)).otherwise(d / (nv * F.lit(cn)))
+
+
 def assign_expr(vec, centroids):
     """Cluster id (0-based) of `vec` against literal `centroids`:
     argmax cosine, ties to the lowest cluster index (array_position
     returns the FIRST occurrence of the max — DuckDB's list_position
     behaves identically)."""
-    cosines = F.array(*[cosine_expr(vec, _lit_vec(c)) for c in centroids])
+    cosines = F.array(*[_cos_to_literal(vec, c) for c in centroids])
     return (F.array_position(cosines, F.array_max(cosines)) - 1).cast("int")
 
 
