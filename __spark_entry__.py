@@ -1465,7 +1465,10 @@ def _bm25_oracle(terms=None, k: int = 15, k1: float = 1.2, b: float = 0.75) -> s
     + ..., (idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
     — and trunc() before the BIGINT cast because DuckDB's cast rounds
     where Spark's truncates."""
-    terms = BM25_TERMS if terms is None else terms
+    # mirror search.py's term normalization (tokens are lower()-ed), and
+    # double any single quote so a term like "o'brien" stays one literal
+    terms = [t.lower().replace("'", "''")
+             for t in (BM25_TERMS if terms is None else terms)]
     tf = lambda t: f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
     avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))"
     parts = ["0.0"]
@@ -1692,7 +1695,7 @@ def oracle_sql() -> dict[str, str]:
                  sc AS (SELECT t.doc_id, n.nll
                         FROM tok t JOIN voc v USING (word) JOIN nm n USING (cnt))
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   (CAST(sum(nll) AS BIGINT) * 1000000) // (count(*) * 1048576) AS mean_nll_micros
+                   (CAST(sum(nll) AS BIGINT) * 15625) // (count(*) * 16384) AS mean_nll_micros
             FROM sc GROUP BY doc_id""",
         "ann_adaptive": _ann_adaptive_oracle(),
         "ann_batch_adaptive": _ann_batch_adaptive_oracle(),
@@ -1868,46 +1871,48 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                        FROM documents WHERE text IS NOT NULL),
                  occ AS (SELECT doc_id, CAST(s AS INTEGER) AS start,
+                                CAST(least(5, len(ws)) AS INTEGER) AS olen,
                                 md5(CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
                                          ELSE array_to_string(list_slice(ws, s + 1, s + 5), ' ') END) AS h,
-                                lpad(CAST(doc_id AS VARCHAR), 18, '0') || ':' ||
-                                lpad(CAST(s AS VARCHAR), 9, '0') AS okey
+                                lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':' ||
+                                lpad(CAST(s AS VARCHAR), 10, '0') AS okey
                          FROM w, unnest(CASE WHEN len(ws) < 5 THEN [CAST(0 AS BIGINT)]
                                              ELSE range(0, len(ws) - 4) END) AS u(s)),
                  st AS (SELECT h, min(okey) AS fo FROM occ GROUP BY h
                         HAVING count(DISTINCT doc_id) >= 2),
-                 dup AS (SELECT o.doc_id, o.start FROM occ o JOIN st USING(h)
+                 dup AS (SELECT o.doc_id, o.start, o.olen FROM occ o JOIN st USING(h)
                          WHERE o.okey <> st.fo),
-                 isl AS (SELECT doc_id, start,
-                                CASE WHEN max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+                 isl AS (SELECT doc_id, start, olen,
+                                CASE WHEN max(start + olen - 1) OVER (PARTITION BY doc_id ORDER BY start
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-                                       OR start > max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+                                       OR start > max(start + olen - 1) OVER (PARTITION BY doc_id ORDER BY start
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
                                      THEN 1 ELSE 0 END AS ni
                          FROM dup),
-                 isl2 AS (SELECT doc_id, start,
+                 isl2 AS (SELECT doc_id, start, olen,
                                  sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
                           FROM isl)
             SELECT doc_id, CAST(min(start) AS INTEGER) AS span_start,
-                   CAST(max(start) + 4 AS INTEGER) AS span_end,
-                   CAST(max(start) + 4 - min(start) + 1 AS INTEGER) AS span_tokens
+                   CAST(max(start + olen - 1) AS INTEGER) AS span_end,
+                   CAST(max(start + olen - 1) - min(start) + 1 AS INTEGER) AS span_tokens
             FROM isl2 GROUP BY doc_id, island""",
         "excise_spans": """
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                        FROM documents WHERE text IS NOT NULL),
                  occ AS (SELECT doc_id, CAST(s AS INTEGER) AS start,
+                                CAST(least(5, len(ws)) AS INTEGER) AS olen,
                                 md5(CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
                                          ELSE array_to_string(list_slice(ws, s + 1, s + 5), ' ') END) AS h,
-                                lpad(CAST(doc_id AS VARCHAR), 18, '0') || ':' ||
-                                lpad(CAST(s AS VARCHAR), 9, '0') AS okey
+                                lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':' ||
+                                lpad(CAST(s AS VARCHAR), 10, '0') AS okey
                          FROM w, unnest(CASE WHEN len(ws) < 5 THEN [CAST(0 AS BIGINT)]
                                              ELSE range(0, len(ws) - 4) END) AS u(s)),
                  st AS (SELECT h, min(okey) AS fo FROM occ GROUP BY h
                         HAVING count(DISTINCT doc_id) >= 2),
-                 dup AS (SELECT o.doc_id, o.start FROM occ o JOIN st USING(h)
+                 dup AS (SELECT o.doc_id, o.start, o.olen FROM occ o JOIN st USING(h)
                          WHERE o.okey <> st.fo),
                  cov AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos
-                         FROM dup, unnest(range(CAST(start AS BIGINT), CAST(start AS BIGINT) + 5)) AS u(p)),
+                         FROM dup, unnest(range(CAST(start AS BIGINT), CAST(start AS BIGINT) + olen)) AS u(p)),
                  tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
                          FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
                  kept AS (SELECT t.doc_id, t.pos, t.word FROM tok t

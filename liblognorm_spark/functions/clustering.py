@@ -97,6 +97,9 @@ def kmeans_fit(emb_df, k: int = 8, iters: int = 2,
     df = emb_df.where(F.col(vec_col).isNotNull())
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(v) for v in row[0]] for row in init]
+    if not cents:
+        raise ValueError(
+            f"kmeans_fit: no non-null {vec_col!r} rows to initialize from")
     dim = len(cents[0])
 
     for _ in range(iters):
@@ -110,6 +113,8 @@ def kmeans_fit(emb_df, k: int = 8, iters: int = 2,
         ).collect()
         nxt = [list(c) for c in cents]  # empty cluster -> previous centroid
         for row in sums:
+            if row["cluster"] is None:  # degenerate vec (NULL elements):
+                continue                # all cosines NULL -> no cluster
             nxt[row["cluster"]] = [
                 float(row[f"s{d}"]) / float(CENTROID_SCALE * row["cnt"])
                 for d in range(dim)

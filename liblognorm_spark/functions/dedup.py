@@ -581,11 +581,16 @@ def decontaminate(df, bench_df, text_col: str = "text", id_col: str = "doc_id",
 
 def _span_occurrences(df, text_col: str, id_col: str, k: int):
     """One row per overlapping k-word shingle occurrence:
-    (id, start, h, okey) where ``start`` is the 0-based token offset,
-    ``h`` the full md5 of the shingle text (128-bit — no collision
-    handling needed even at 100 TB shingle counts), and ``okey`` a
-    string that orders exactly like (doc_id, start) — the portable
-    stand-in for a struct min, which DuckDB cannot aggregate."""
+    (id, start, olen, h, okey) where ``start`` is the 0-based token
+    offset, ``olen`` the occurrence's true token length (k, or the whole
+    doc when it is shorter than k — so span ends never overshoot the
+    document), ``h`` the full md5 of the shingle text (128-bit — no
+    collision handling needed even at 100 TB shingle counts), and
+    ``okey`` a string that orders exactly like (doc_id, start) for
+    NON-NEGATIVE ids — the portable stand-in for a struct min, which
+    DuckDB cannot aggregate.  Pad widths cover the full long/int digit
+    range (19/10); both engines' lpad would silently TRUNCATE beyond
+    that, which would corrupt the keep-first ordering."""
     words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -595,15 +600,17 @@ def _span_occurrences(df, text_col: str, id_col: str, k: int):
         i.alias("start"), F.array_join(F.slice(words, i + 1, k), " ").alias("sh"))))
     return (
         _spread(df.where(F.col(text_col).isNotNull()))
-        .select(F.col(id_col), F.explode(occs).alias("o"))
+        .select(F.col(id_col), F.least(F.lit(k), F.size(words)).alias("olen"),
+                F.explode(occs).alias("o"))
         .select(
             F.col(id_col),
             F.col("o.start").alias("start"),
+            F.col("olen"),
             F.md5(F.col("o.sh")).alias("h"),
             F.concat_ws(
                 ":",
-                F.lpad(F.col(id_col).cast("string"), 18, "0"),
-                F.lpad(F.col("o.start").cast("string"), 9, "0"),
+                F.lpad(F.col(id_col).cast("string"), 19, "0"),
+                F.lpad(F.col("o.start").cast("string"), 10, "0"),
             ).alias("okey"),
         )
     )
@@ -626,7 +633,7 @@ def _duplicate_occurrences(df, text_col: str, id_col: str, k: int,
     return (
         occ.join(stats, "h")
         .where(F.col("okey") != F.col("first_okey"))
-        .select(id_col, "start")
+        .select(id_col, "start", "olen")
     )
 
 
@@ -655,22 +662,23 @@ def duplicate_spans(df, text_col: str = "text", id_col: str = "doc_id",
 
     dup = _duplicate_occurrences(df, text_col, id_col, k, min_docs)
     w = Window.partitionBy(id_col).orderBy("start")
-    prev_end = F.max(F.col("start") + F.lit(k - 1)).over(
+    occ_end = F.col("start") + F.col("olen") - 1  # clamped to the doc by olen
+    prev_end = F.max(occ_end).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = dup.select(
-        F.col(id_col), F.col("start"),
+        F.col(id_col), F.col("start"), F.col("olen"),
         F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), F.lit(1))
         .otherwise(F.lit(0)).alias("new_island"),
     )
     islands = flagged.select(
-        F.col(id_col), F.col("start"),
+        F.col(id_col), F.col("start"), F.col("olen"),
         F.sum("new_island").over(w).alias("island"),
     )
     return (
         islands.groupBy(id_col, "island")
         .agg(
             F.min("start").alias("span_start"),
-            (F.max("start") + F.lit(k - 1)).alias("span_end"),
+            F.max(F.col("start") + F.col("olen") - 1).alias("span_end"),
         )
         .select(
             F.col(id_col),
@@ -698,7 +706,7 @@ def excise_duplicate_spans(df, text_col: str = "text", id_col: str = "doc_id",
     dup = _duplicate_occurrences(df, text_col, id_col, k, min_docs)
     covered = dup.select(
         F.col(id_col),
-        F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias("pos"),
+        F.explode(F.sequence(F.col("start"), F.col("start") + F.col("olen") - 1)).alias("pos"),
     ).distinct()
 
     words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")

@@ -47,7 +47,10 @@ def _tf(words, term: str):
 def corpus_stats(df, query_terms: list[str], text_col: str = "text"):
     """(N, avgdl, {term: df}) in ONE map-side-combined aggregate.
     avgdl is float(sum)/float(count) of exact integers — the expression
-    the oracle mirrors verbatim."""
+    the oracle mirrors verbatim.  Terms are lower()-ed to match the
+    lower()-ed token stream (a verbatim 'Customer' would otherwise
+    silently match nothing); returned df keys are the lowered forms."""
+    query_terms = [t.lower() for t in query_terms]
     words = _words(text_col)
     row = (
         df.where(F.col(text_col).isNotNull())
@@ -65,7 +68,9 @@ def corpus_stats(df, query_terms: list[str], text_col: str = "text"):
     )
     n = int(row["n"])
     avgdl = float(row["sdl"]) / float(n) if n else 0.0
-    dfs = {t: int(row[f"df{i}"]) for i, t in enumerate(query_terms)}
+    # sum() over zero rows is NULL, not 0 — `or 0` keeps the empty /
+    # all-null-text corpus returning zeros instead of a TypeError
+    dfs = {t: int(row[f"df{i}"] or 0) for i, t in enumerate(query_terms)}
     return n, avgdl, dfs
 
 
@@ -84,6 +89,7 @@ def bm25_topk(df, query_terms: list[str], k: int = 10,
     excluded.  Two reductions total (stats + top-k); scoring is one
     codegen projection with all corpus constants folded in as
     literals."""
+    query_terms = [t.lower() for t in query_terms]
     n, avgdl, dfs = corpus_stats(df, query_terms, text_col)
     words = _words(text_col)
     dl = F.size(words).cast("double")

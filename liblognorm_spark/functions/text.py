@@ -402,7 +402,12 @@ def unigram_nll(df, text_col: str = "text", id_col: str = "doc_id"):
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.expr("(sum_nll * 1000000) DIV (n_tokens * 1048576)").alias("mean_nll_micros"),
+            # 1000000/1048576 reduced to 15625/16384: floor(a*c/(b*c)) is
+            # invariant under the common factor, and the 64x-smaller
+            # multiplier keeps sum_nll*15625 inside a long up to ~50M
+            # tokens/doc at worst-case NLL (Spark would wrap silently
+            # where DuckDB errors — the engines must never diverge)
+            F.expr("(sum_nll * 15625) DIV (n_tokens * 16384)").alias("mean_nll_micros"),
         )
     )
 

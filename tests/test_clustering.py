@@ -88,18 +88,22 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     unchanged (the deterministic empty-cluster rule the oracle mirrors)."""
     from liblognorm_spark.functions.clustering import kmeans_fit
 
-    # ids 0 and 1 nearly parallel -> centroid 1 wins no points after init
+    # ids 0 and 1 IDENTICAL -> init centroids 0 and 1 identical -> every
+    # point's argmax ties between them and array_position picks the
+    # FIRST max, so cluster 1 provably captures zero points each round
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
-        (1, [0.9999, 0.0001, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
         (2, [0.0, 1.0, 0.0, 0.0]),
         (3, [0.0, 0.9999, 0.0001, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    cents = kmeans_fit(emb, k=2, iters=2)
-    # cluster 1's init vector (id 1) keeps losing the argmax tie to
-    # cluster 0 only if cos to cent0 is strictly larger; either way the
-    # fit must terminate with finite, non-NaN centroids
+    cents = kmeans_fit(emb, k=2, iters=1)
+    # the empty cluster must keep its init centroid bit-for-bit (the
+    # rule the oracle's LEFT JOIN + coalesce mirrors)...
+    assert cents[1] == [1.0, 0.0, 0.0, 0.0]
+    # ...while the non-empty cluster (which won every point) moved off it
+    assert cents[0] != [1.0, 0.0, 0.0, 0.0]
     assert all(all(not math.isnan(v) for v in c) for c in cents)
 
 
