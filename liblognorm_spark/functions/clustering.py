@@ -29,7 +29,18 @@ Spark-first shape, designed for 100 TB:
 - The within-cluster pair join is an equi-join on the cluster id.
   SemDeDup's contract is that k is chosen large enough that clusters are
   small (the paper uses 50k clusters for 100M+ docs); cluster_sizes()
-  is the no-silent-caps diagnostic for choosing k.
+  is the no-silent-caps diagnostic for choosing k, and — new in round 6
+  — :func:`semdedup` drops clusters above ``max_cluster_size`` outright
+  (the dedup._cap_buckets discipline) so one degenerate centroid can
+  never turn the equi-join quadratic at corpus scale.
+- Literal-heavy expressions (k x dim centroid constants, the per-plane
+  dot folds) are built as ONE SQL string handed to ``F.expr`` instead of
+  thousands of per-element ``F.lit``/py4j round-trips: the round-6
+  measurement showed ~1-1.5 s of pure driver-side Python per Lloyd
+  iteration in expression CONSTRUCTION alone (guide §1.2 — fix the
+  per-task work, where the "task" here is the driver).  The SQL parses
+  to the exact same fold (zip_with + aggregate, left fold from 0.0), so
+  every value is unchanged.
 
 Every value that leaves these operators is integral (ids, cluster ids,
 counts, micro-scaled cosines), so the DuckDB oracles compare exactly.
@@ -37,12 +48,21 @@ counts, micro-scaled cosines), so the DuckDB oracles compare exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from liblognorm_spark.functions.similarity import cosine_expr
 
 #: fixed-point scale for order-independent centroid sums
 CENTROID_SCALE = 1 << 24
+
+#: semdedup's hot-cluster guard (see semdedup docstring): clusters larger
+#: than this are dropped from pair generation — 32768^2/2 ≈ 5e8 pairs is
+#: the most one bad centroid may cost.  Far above any driver-fixture
+#: cluster (the whole sf0.1 table is 2000 vectors), so fixture results
+#: are identical with the guard on.
+DEFAULT_MAX_CLUSTER = 32768
 
 
 def _scaled_elems(vec):
@@ -59,14 +79,67 @@ def _lit_vec(values):
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def _sql_f(v: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal.  repr() round-trips
+    the exact double; the D suffix stops the parser from reading it as
+    DECIMAL."""
+    return f"{float(v)!r}D"
+
+
+def _sql_vec(values) -> str:
+    return "array(" + ", ".join(_sql_f(v) for v in values) + ")"
+
+
+def _dot_sql(vec_sql: str, values) -> str:
+    """SQL twin of similarity.dot_expr(vec, lit_vec(values)): zip_with
+    element products folded left from 0.0 — the exact expression shape
+    the DuckDB oracles mirror."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_vec(values)}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(vec_sql: str) -> str:
+    """SQL twin of similarity.norm_expr."""
+    return (
+        f"sqrt(aggregate(transform({vec_sql}, "
+        "x -> cast(x as double) * cast(x as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+
+
+def _cos_arr_sql(vec_sql: str, centroids, norm_sql: str | None = None) -> str:
+    """array(cos(vec, c0), ..., cos(vec, ck-1)) as ONE SQL string, each
+    centroid's norm folded in as a driver-computed constant (same values
+    as the round-5 _cos_to_literal: Python's sum() folds left from 0 like
+    the SQL aggregate, math.sqrt is IEEE).  ``norm_sql`` names an
+    already-computed per-row norm column so the row norm is evaluated
+    once instead of once per centroid."""
+    nv = norm_sql if norm_sql is not None else _norm_sql(vec_sql)
+    parts = []
+    for cent in centroids:
+        cn = math.sqrt(sum(float(v) * float(v) for v in cent))
+        if cn == 0.0:
+            parts.append("cast(0.0 as double)")
+            continue
+        parts.append(
+            f"(CASE WHEN {nv} = cast(0.0 as double) THEN cast(0.0 as double) "
+            f"ELSE {_dot_sql(vec_sql, cent)} / ({nv} * {_sql_f(cn)}) END)"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+_ASSIGN_FROM_COS = "cast(array_position({c}, array_max({c})) - 1 as int)"
+
+
 def _cos_to_literal(vec, cent):
     """cosine(vec, literal centroid) with the centroid's norm folded in
     as a driver-computed constant — half the per-row work and half the
     codegen expression size of cosine_expr(vec, lit(cent)).  Bit-parity
     with the oracle's in-SQL norm is exact: Python's sum() folds left
     from 0 like list_reduce (0.0 + x == x) and math.sqrt is IEEE."""
-    import math
-
     from liblognorm_spark.functions.similarity import dot_expr, norm_expr
 
     cn = math.sqrt(sum(v * v for v in cent))
@@ -81,9 +154,31 @@ def assign_expr(vec, centroids):
     """Cluster id (0-based) of `vec` against literal `centroids`:
     argmax cosine, ties to the lowest cluster index (array_position
     returns the FIRST occurrence of the max — DuckDB's list_position
-    behaves identically)."""
+    behaves identically).
+
+    Column-API form, kept for callers holding an arbitrary Column; the
+    operators below build the same expression as one SQL string
+    (F.expr) because per-element F.lit construction costs ~3 ms of py4j
+    per literal — seconds per Lloyd iteration at k x dim = 512."""
     cosines = F.array(*[_cos_to_literal(vec, c) for c in centroids])
     return (F.array_position(cosines, F.array_max(cosines)) - 1).cast("int")
+
+
+def _q(col: str) -> str:
+    return f"`{col}`"
+
+
+def _with_cluster(df, vec_col: str, centroids, out=None):
+    """df + ``cluster`` column via the SQL-string assignment.  Two-step
+    projection: the cosine array is materialized as a column first so
+    array_position/array_max read it instead of re-evaluating the k
+    folds (the single-expression form evaluates the array twice)."""
+    keep = df.columns if out is None else out
+    cos = _cos_arr_sql(_q(vec_col), centroids)
+    return (
+        df.withColumn("_lls_cos", F.expr(cos))
+        .select(*keep, F.expr(_ASSIGN_FROM_COS.format(c="_lls_cos")).alias("cluster"))
+    )
 
 
 def kmeans_fit(emb_df, k: int = 8, iters: int = 2,
@@ -101,22 +196,28 @@ def kmeans_fit(emb_df, k: int = 8, iters: int = 2,
         raise ValueError(
             f"kmeans_fit: no non-null {vec_col!r} rows to initialize from")
     dim = len(cents[0])
+    # one array-of-sums aggregate expression (a single py4j call) instead
+    # of dim separate F.sum columns; values are the same longs
+    sums_sql = "array(" + ", ".join(
+        f"sum(element_at(_sv, {d + 1}))" for d in range(dim)) + ")"
 
     for _ in range(iters):
-        scaled = df.select(
-            assign_expr(F.col(vec_col), cents).alias("cluster"),
-            _scaled_elems(F.col(vec_col)).alias("sv"),
+        scaled = (
+            df.withColumn("_lls_cos", F.expr(_cos_arr_sql(_q(vec_col), cents)))
+            .select(
+                F.expr(_ASSIGN_FROM_COS.format(c="_lls_cos")).alias("cluster"),
+                _scaled_elems(F.col(vec_col)).alias("_sv"),
+            )
         )
         sums = scaled.groupBy("cluster").agg(
-            F.count("*").alias("cnt"),
-            *[F.sum(F.element_at("sv", d + 1)).alias(f"s{d}") for d in range(dim)],
+            F.count("*").alias("cnt"), F.expr(sums_sql).alias("s")
         ).collect()
         nxt = [list(c) for c in cents]  # empty cluster -> previous centroid
         for row in sums:
             if row["cluster"] is None:  # degenerate vec (NULL elements):
                 continue                # all cosines NULL -> no cluster
             nxt[row["cluster"]] = [
-                float(row[f"s{d}"]) / float(CENTROID_SCALE * row["cnt"])
+                float(row["s"][d]) / float(CENTROID_SCALE * row["cnt"])
                 for d in range(dim)
             ]
         cents = nxt
@@ -131,9 +232,9 @@ def kmeans_assign(emb_df, k: int = 8, iters: int = 2,
     fit).  Pure projection over the scan: no join, no shuffle."""
     if centroids is None:
         centroids = kmeans_fit(emb_df, k, iters, vec_col, id_col)
-    return emb_df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        assign_expr(F.col(vec_col), centroids).alias("cluster"),
+    return _with_cluster(
+        emb_df.where(F.col(vec_col).isNotNull()), vec_col, centroids,
+        out=[id_col],
     )
 
 
@@ -151,7 +252,7 @@ def cluster_sizes(emb_df, k: int = 8, iters: int = 2,
 
 def semdedup(emb_df, k: int = 8, iters: int = 2, threshold: float = 0.9,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             centroids=None):
+             centroids=None, max_cluster_size: int | None = DEFAULT_MAX_CLUSTER):
     """SemDeDup: drop vector ``b`` when its cluster contains a vector
     ``a`` with a smaller id and cosine(a, b) >= threshold (so the
     smallest id of each semantic group survives).  Returns one row per
@@ -160,34 +261,68 @@ def semdedup(emb_df, k: int = 8, iters: int = 2, threshold: float = 0.9,
 
     Scale shape: candidate pairs come from an equi-join on the cluster
     id (hash-partitionable; never a global cross join) and cosines are
-    evaluated only inside clusters.  The join input is persisted once
-    and shared by both sides (registered with the dedup cache registry —
-    call dedup.unpersist_dedup_caches() after consuming)."""
-    from liblognorm_spark.functions.dedup import _persist, _spread
+    evaluated only inside clusters.  Per-row vector norms are computed
+    ONCE at assignment time and carried as a column, so the per-PAIR
+    work is a single dot fold (the norms were previously re-folded for
+    both sides of every pair).  The join input is persisted once and
+    shared by both sides (registered with the dedup cache registry —
+    call dedup.unpersist_dedup_caches() after consuming).
+
+    ``max_cluster_size`` is the hot-cluster guard: clusters with more
+    members are dropped from pair generation entirely (both sides, the
+    dedup._cap_buckets discipline) BEFORE the self-join, because one
+    degenerate centroid holding f·N rows would otherwise cost (f·N)^2
+    pairs — the quadratic escape hatch SemDeDup's choose-k-large
+    contract assumes away but nothing previously enforced.  Use
+    :func:`cluster_sizes` to see what a corpus would drop (no silent
+    caps); pass None to disable.  The default is far above any
+    driver-fixture cluster, so fixture results are unchanged."""
+    from liblognorm_spark.functions.dedup import _cap_buckets, _persist, _spread
 
     if centroids is None:
         centroids = kmeans_fit(emb_df, k, iters, vec_col, id_col)
-    assigned = _persist(
-        _spread(emb_df.where(F.col(vec_col).isNotNull())).select(
-            F.col(id_col),
-            F.col(vec_col),
-            assign_expr(F.col(vec_col), centroids).alias("cluster"),
-        )
+    base = _spread(emb_df.where(F.col(vec_col).isNotNull()))
+    # norm column first, then cosines READ it (one norm fold per row,
+    # not one per centroid per row), then the assignment reads the
+    # cosine array column
+    assigned = (
+        base.select(F.col(id_col), F.col(vec_col),
+                    F.expr(_norm_sql(_q(vec_col))).alias("_nrm"))
+        .withColumn("_lls_cos", F.expr(_cos_arr_sql(_q(vec_col), centroids,
+                                                    norm_sql="_nrm")))
+        .select(id_col, vec_col, "_nrm",
+                F.expr(_ASSIGN_FROM_COS.format(c="_lls_cos")).alias("cluster"))
     )
+    # persist BEFORE the cap so the cap's hot-cluster aggregate and both
+    # join sides read the cached assignment instead of re-evaluating the
+    # k x dim cosine folds (the minhash path had exactly this
+    # double-compute before round 6)
+    assigned = _persist(assigned)
+    if max_cluster_size is not None:
+        assigned = _cap_buckets(assigned, ["cluster"], max_cluster_size)
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
     )
     b = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
+    from liblognorm_spark.functions.similarity import dot_expr
+
+    # same value as cosine_expr(va, vb): the norms are the identical
+    # IEEE folds, computed once per row instead of once per pair
+    cos = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)
+    ).otherwise(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     pairs = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .where(cos >= F.lit(float(threshold)))
     )
     return (
         pairs.groupBy("id_b", "cluster")

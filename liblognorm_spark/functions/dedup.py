@@ -177,11 +177,23 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _banded(df, text_col: str, id_col: str, n: int, bands: int, method: str = "agg"):
+def _banded(df, text_col: str, id_col: str, n: int, bands: int, method: str = "agg",
+            persist_sigs: bool = False):
     """(id, minhash, band, band_key) rows — ONE definition of the banding
-    so the pair join and the bucket diagnostics can never drift apart."""
+    so the pair join and the bucket diagnostics can never drift apart.
+
+    ``persist_sigs`` caches the signature frame (id + n 16-char hashes —
+    a tiny proxy of the text, guide §8's "decide with small rows") so
+    every consumer downstream of the banding — the hot-bucket aggregate,
+    its anti-join, BOTH sides of the pair self-join — re-derives only
+    the cheap band-key md5s from the cache instead of re-running the
+    shingle fold over the full text.  Before round 6 the fold ran twice
+    per invocation (once per side of _cap_buckets) because the persist
+    sat downstream of the cap."""
     rows = n // bands
     sigs = minhash_signatures(df, text_col, id_col, n, method=method)
+    if persist_sigs:
+        sigs = _persist(sigs)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
             "band_key"
@@ -209,36 +221,44 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     bands, and it is the standard boilerplate-band defense.  Use
     lsh_bucket_stats() to see what a given corpus would drop — no silent
     caps.  Pass None to disable."""
-    exploded = _banded(df, text_col, id_col, n, bands, method=method)
+    # persist the SIGNATURES (the small per-doc proxy), not the capped
+    # exploded frame: the expensive shingle fold then runs exactly once
+    # no matter how many times the banding is re-derived (hot-bucket
+    # aggregate, its anti-join, both self-join sides) — before round 6
+    # the fold ran twice because the persist sat below the cap
+    exploded = _banded(df, text_col, id_col, n, bands, method=method,
+                       persist_sigs=True)
     if max_bucket_size is not None:
         exploded = _cap_buckets(exploded, ["band", "band_key"], max_bucket_size)
-    # persist: the self-join would otherwise recompute the signature
-    # aggregation once per side (no ReusedExchange is planned for the two
-    # sides); released via unpersist_dedup_caches()
-    exploded = _persist(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (
-        a.join(b, ["band", "band_key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])  # pair may collide in >1 band
-    )
+    # est_jaccard is computed BEFORE the per-pair dedup so dropDuplicates
+    # groups only scalar longs: with the minhash arrays carried through,
+    # the First(array) aggregation buffer is not hash-aggregatable and
+    # the planner falls back to Sort + SortAggregate over every collision
+    # row (guide §2.4 — an Exchange+Sort we don't need).  A pair's est is
+    # identical in every band it collides in, so the kept value is
+    # unchanged.
     match_frac = (
         F.aggregate(
-            F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.zip_with("a.minhash", "b.minhash",
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
             F.lit(0),
             lambda acc, v: acc + v,
         )
         * 1000
         / F.lit(n)
     ).cast("long")
-    return pairs.select("id_a", "id_b", match_frac.alias("est_jaccard_millis"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            match_frac.alias("est_jaccard_millis"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # pair may collide in >1 band
+    )
 
 
 def lsh_bucket_stats(df, text_col: str = "text", id_col: str = "doc_id",

@@ -142,3 +142,51 @@ def test_semdedup_equi_join_no_cartesian(spark):
     unpersist_dedup_caches()
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_semdedup_hot_cluster_guard_bounds_pairs(spark):
+    """Round-6 scale guard: a planted mega-cluster (every vector nearly
+    parallel -> one cluster swallows the corpus) is DROPPED from pair
+    generation when it exceeds max_cluster_size, so the within-cluster
+    join can never go quadratic on a degenerate centroid.  The guarded
+    run keeps only the small clusters' pairs; the tiny default fixture
+    clusters stay under any sane cap, so production results with the
+    default guard are unchanged (pinned by the semdedup oracle)."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.clustering import semdedup
+    from liblognorm_spark.functions.dedup import unpersist_dedup_caches
+
+    # 40 near-identical vectors (the mega-cluster) + one small planted
+    # group of 3 (ids 100..102) pointing elsewhere
+    rows = []
+    base = _unit([1, 1, 0, 0, 0, 0, 0, 0])
+    for m in range(40):
+        rows.append((m, [v + 1e-4 * m * ((d % 3) - 1) for d, v in enumerate(base)]))
+    other = _unit([0, 0, 0, 1, -1, 0, 0, 0])
+    for m in range(3):
+        rows.append((100 + m, [v + 1e-4 * m * ((d % 2) - 0.5) for d, v in enumerate(other)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # unguarded: the mega-cluster contributes its quadratic pair set
+    un = semdedup(emb, k=2, iters=2, threshold=0.99, max_cluster_size=None).collect()
+    unpersist_dedup_caches()
+    assert {r.vec_id for r in un} >= {m for m in range(1, 40)}
+
+    # guarded at 10: the 40-member cluster is dropped outright; only the
+    # small group's dedups remain, and total candidate pairs are bounded
+    # by sum over kept clusters of size^2 < cap^2 * n_clusters
+    g = semdedup(emb, k=2, iters=2, threshold=0.99, max_cluster_size=10).collect()
+    unpersist_dedup_caches()
+    got = {r.vec_id for r in g}
+    assert not ({m for m in range(40)} & got), got
+    assert got == {101, 102}, got
+
+    # oracle-facing default: the guard is far above fixture cluster sizes
+    emb_fix = spark.read.parquet(f"{SF}/embeddings.parquet")
+    default_rows = semdedup(emb_fix, k=8, iters=2, threshold=0.35).count()
+    unpersist_dedup_caches()
+    off_rows = semdedup(emb_fix, k=8, iters=2, threshold=0.35,
+                        max_cluster_size=None).count()
+    unpersist_dedup_caches()
+    assert default_rows == off_rows
