@@ -604,15 +604,19 @@ def _query_vec(spark, sf_dir):
 
 
 def q_knn_cosine(spark, sf_dir):
-    from liblognorm_spark.functions.similarity import cosine_expr
+    # the cosine against the literal query is built as ONE SQL string
+    # (64 F.lit py4j calls cost ~0.2s of driver time per invocation);
+    # cos_const_sql is the exact same fold with the query norm as a
+    # driver constant, so cos_millis is bit-identical
+    from liblognorm_spark.functions.similarity import cos_const_sql
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = _query_vec(spark, sf_dir)
-    q = F.array(*[F.lit(v) for v in qv])
-    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scored = emb.select(
         "vec_id",
-        F.floor(cosine_expr(vec_d, q) * 1000).cast("long").alias("cos_millis"),
+        F.expr(
+            f"cast(floor({cos_const_sql('`embedding`', qv)} * 1000) as long)"
+        ).alias("cos_millis"),
     )
     return scored.orderBy(F.col("cos_millis").desc(), F.col("vec_id")).limit(10)
 

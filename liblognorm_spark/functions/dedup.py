@@ -95,8 +95,22 @@ def _spread(df):
     arrives in fewer partitions (a small parquet file = one split = one
     task doing ALL the hashing).  At 100 TB inputs already carry >= cores
     partitions and this is a no-op; the repartition costs one tiny shuffle
-    of the raw rows, far less than serializing the hash work."""
+    of the raw rows, far less than serializing the hash work.
+
+    The exact gate (`df.rdd.getNumPartitions()`) forces a full physical
+    planning pass (~80-100 ms per fresh plan, driver-side — guide §7.3),
+    so a file-backed input with at least `target` FILES short-circuits
+    first: scan partitions >= file count, so the gate cannot fire and the
+    planning pass is skipped.  Fewer files than cores falls through to
+    the exact check (a 1-file table can still split into many partitions
+    via maxPartitionBytes, so file count alone cannot prove the
+    repartition is needed)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -406,22 +420,15 @@ def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_i
     length mismatch would null the dot products (zip_with null-pads)."""
     from liblognorm_spark.functions.similarity import (
         _hyperplanes,
-        bucket_from_planes,
+        _table_structs_sql,
         cosine_expr,
     )
 
     planes = _hyperplanes(dim, ntables * nplanes)
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    table_buckets = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            bucket_from_planes(vec_d, planes[t * nplanes:(t + 1) * nplanes]).alias("bkt"),
-        )
-        for t in range(ntables)
-    ]
+    tables = [planes[t * nplanes:(t + 1) * nplanes] for t in range(ntables)]
     keyed = emb_df.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*table_buckets)).alias("tb"),
+        F.explode(F.expr(_table_structs_sql(f"`{vec_col}`", tables))).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
     if max_bucket_size is not None:
         keyed = _cap_buckets(keyed, ["tbl", "bkt"], max_bucket_size)
@@ -606,11 +613,15 @@ def _span_occurrences(df, text_col: str, id_col: str, k: int):
     doc when it is shorter than k — so span ends never overshoot the
     document), ``h`` the full md5 of the shingle text (128-bit — no
     collision handling needed even at 100 TB shingle counts), and
-    ``okey`` a string that orders exactly like (doc_id, start) for
-    NON-NEGATIVE ids — the portable stand-in for a struct min, which
-    DuckDB cannot aggregate.  Pad widths cover the full long/int digit
-    range (19/10); both engines' lpad would silently TRUNCATE beyond
-    that, which would corrupt the keep-first ordering."""
+    ``okey`` a DECIMAL(31,0) ``id * 10^10 + start`` that orders exactly
+    like (doc_id, start) for starts under 10^10 — the stand-in for a
+    struct min.  The DuckDB twin keeps its lpad-string okey (min over
+    either encoding picks the same occurrence for the non-negative ids
+    every fixture uses); Spark-side the decimal is a FIXED-WIDTH
+    aggregation buffer, so the per-shingle min/count aggregate plans as
+    HashAggregate — the string okey forced Sort + SortAggregate over
+    every shingle occurrence (guide §2.4: an Exchange-adjacent Sort the
+    operator does not need)."""
     words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -627,10 +638,10 @@ def _span_occurrences(df, text_col: str, id_col: str, k: int):
             F.col("o.start").alias("start"),
             F.col("olen"),
             F.md5(F.col("o.sh")).alias("h"),
-            F.concat_ws(
-                ":",
-                F.lpad(F.col(id_col).cast("string"), 19, "0"),
-                F.lpad(F.col("o.start").cast("string"), 10, "0"),
+            (
+                F.col(id_col).cast("decimal(19,0)")
+                * F.lit(10_000_000_000).cast("decimal(11,0)")
+                + F.col("o.start").cast("decimal(11,0)")
             ).alias("okey"),
         )
     )

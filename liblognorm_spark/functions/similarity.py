@@ -19,12 +19,58 @@ import math
 
 from pyspark.sql import functions as F
 
+#: lsh_topk_batch_adaptive collects the query frame for driver-side probe
+#: planning; this bounds that collect (~50k queries x 64 doubles ≈ 26 MB)
+MAX_ADAPTIVE_BATCH_QUERIES = 50_000
+
 
 def dot_expr(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+def _sql_f(v: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal (repr round-trips the
+    exact double; D keeps the parser off DECIMAL)."""
+    return f"{float(v)!r}D"
+
+
+def _dot_const_sql(vec_sql: str, values) -> str:
+    """SQL twin of dot_expr(vec, lit_vec(values)) — identical zip_with +
+    left fold from 0.0, built as ONE string instead of len(values) py4j
+    F.lit calls (~3 ms each; a multi-table plane set is thousands)."""
+    arr = "array(" + ", ".join(_sql_f(v) for v in values) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_const_sql(vec_sql: str) -> str:
+    """SQL twin of norm_expr(vec)."""
+    return (
+        f"sqrt(aggregate(transform({vec_sql}, "
+        "x -> cast(x as double) * cast(x as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+
+
+def cos_const_sql(vec_sql: str, query_vec) -> str:
+    """SQL twin of cosine_expr(vec, lit(query_vec)) with the query norm
+    folded in driver-side: Python's sum() folds left from 0 exactly like
+    the SQL aggregate and math.sqrt is IEEE, so norm(q) is the same
+    double and the quotient is bit-identical."""
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    if qn == 0.0:
+        return "cast(0.0 as double)"
+    nv = _norm_const_sql(vec_sql)
+    return (
+        f"(CASE WHEN {nv} = cast(0.0 as double) THEN cast(0.0 as double) "
+        f"ELSE {_dot_const_sql(vec_sql, query_vec)} / ({nv} * {_sql_f(qn)}) END)"
     )
 
 
@@ -78,6 +124,36 @@ def bucket_from_planes(vec, planes):
     return bucket
 
 
+def bucket_sql(vec_sql: str, planes) -> str:
+    """SQL twin of bucket_from_planes — same per-plane fold, same int
+    sum of 2^p terms, built as one string (the multi-table builders were
+    spending seconds of driver time on per-element F.lit py4j calls)."""
+    terms = [
+        f"(CASE WHEN {_dot_const_sql(vec_sql, plane)} >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    ]
+    return "(0 + " + " + ".join(terms) + ")"
+
+
+def _qcol(col: str) -> str:
+    return f"`{col}`"
+
+
+def _table_structs_sql(vec_sql: str, tables, bkt_name: str = "bkt",
+                       cast_long: bool = False) -> str:
+    """array(named_struct('tbl', t, '<bkt_name>', bucket_t)) over all
+    plane tables — the explode argument every multi-table builder uses,
+    as one SQL string."""
+    items = []
+    for t, planes in enumerate(tables):
+        b = bucket_sql(vec_sql, planes)
+        if cast_long:
+            b = f"cast({b} as long)"
+        items.append(f"named_struct('tbl', {t}, '{bkt_name}', {b})")
+    return "array(" + ", ".join(items) + ")"
+
+
 def hyperplane_bucket(vec, nplanes: int = 8, dim: int = 16):
     """Sign-pattern bucket id of `vec` against the deterministic hyperplane
     set.  `dim` MUST equal the embedding length — the planes are literal
@@ -113,11 +189,14 @@ def _table_planes(dim: int, nplanes: int, n_tables: int):
 def brute_force_topk(emb_df, query_vec: list[float], k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id"):
     """Exact cosine top-k against a literal query vector.  The query is a
-    constant folded into the plan (the '1-row broadcast side')."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    constant folded into the plan (the '1-row broadcast side'); its norm
+    is a driver-side constant (same left-fold sum + IEEE sqrt as the SQL
+    fold, so the quotient is bit-identical to cosine_expr against the
+    literal array)."""
+    cos = cos_const_sql(_qcol(vec_col), query_vec)
     scored = emb_df.select(
         F.col(id_col),
-        (cosine_expr(F.col(vec_col), q) * 1000000).cast("long").alias("cos_micros"),
+        F.expr(f"cast({cos} * 1000000 as long)").alias("cos_micros"),
     )
     return scored.orderBy(F.col("cos_micros").desc(), F.col(id_col)).limit(k)
 
@@ -153,7 +232,7 @@ def ann_candidates(emb_df, query_vec: list[float],
     cond = None
     for planes in _table_planes(dim, nplanes, n_tables):
         probes = _probe_buckets(_qbucket_planes(query_vec, planes), nplanes, probe_hamming)
-        c = bucket_from_planes(F.col(vec_col), planes).isin(*probes)
+        c = F.expr(bucket_sql(_qcol(vec_col), planes)).isin(*probes)
         cond = c if cond is None else (cond | c)
     return emb_df.select(F.col(id_col), F.col(vec_col)).where(cond)
 
@@ -197,11 +276,7 @@ def bucket_histogram(emb_df, dim: int, vec_col: str = "embedding",
     compute once, plan many."""
     tables = _table_planes(dim, nplanes, n_tables)
     keyed = emb_df.select(
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     bucket_from_planes(F.col(vec_col), planes).alias("bkt"))
-            for t, planes in enumerate(tables)
-        ])).alias("tb"),
+        F.explode(F.expr(_table_structs_sql(_qcol(vec_col), tables))).alias("tb"),
     ).groupBy("tb.tbl", "tb.bkt").count()
     return {(r["tbl"], r["bkt"]): r["count"] for r in keyed.collect()}
 
@@ -280,7 +355,7 @@ def ann_candidates_adaptive(emb_df, query_vec: list[float],
     tables = _table_planes(dim, nplanes, n_tables)
     cond = None
     for t, probes in plan.items():
-        c = bucket_from_planes(F.col(vec_col), tables[t]).isin(*probes)
+        c = F.expr(bucket_sql(_qcol(vec_col), tables[t])).isin(*probes)
         cond = c if cond is None else (cond | c)
     return emb_df.select(F.col(id_col), F.col(vec_col)).where(cond)
 
@@ -331,19 +406,12 @@ def lsh_topk_batch(emb_df, query_df, dim: int, k: int = 10,
     masks = _probe_buckets(0, nplanes, probe_hamming)  # XOR masks, popcount<=h
     corpus = emb_df.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     bucket_from_planes(F.col(vec_col), planes).alias("bkt"))
-            for t, planes in enumerate(tables)
-        ])).alias("tb"),
+        F.explode(F.expr(_table_structs_sql(_qcol(vec_col), tables))).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
     queries = query_df.select(
         F.col(query_id_col), F.col(query_vec_col).alias("_qv"),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     bucket_from_planes(F.col(query_vec_col), planes).alias("qbkt"))
-            for t, planes in enumerate(tables)
-        ])).alias("tb"),
+        F.explode(F.expr(_table_structs_sql(
+            _qcol(query_vec_col), tables, bkt_name="qbkt"))).alias("tb"),
     ).select(
         query_id_col, "_qv", "tb.tbl",
         F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask"),
@@ -399,7 +467,20 @@ def lsh_topk_batch_adaptive(emb_df, query_df, dim: int, k: int = 10,
     spark = emb_df.sparkSession
     if hist is None:
         hist = bucket_histogram(emb_df, dim, vec_col, nplanes, n_tables)
-    qrows = query_df.select(query_id_col, query_vec_col).collect()
+    # bounded driver collect: per-query probe PLANNING is driver-side by
+    # design (the query side is broadcast anyway), but nothing previously
+    # stopped a million-row query frame from being collected.  limit(n+1)
+    # returns every row when the frame is within bounds, so results are
+    # unchanged below the cap; above it, fail fast and point at the
+    # fully-distributed variant.
+    qrows = query_df.select(query_id_col, query_vec_col) \
+        .limit(MAX_ADAPTIVE_BATCH_QUERIES + 1).collect()
+    if len(qrows) > MAX_ADAPTIVE_BATCH_QUERIES:
+        raise ValueError(
+            f"lsh_topk_batch_adaptive plans probes driver-side and caps the "
+            f"query frame at {MAX_ADAPTIVE_BATCH_QUERIES} rows; use "
+            "lsh_topk_batch for larger query sets (fixed probe shape, fully "
+            "distributed)")
     probe_rows = []
     qvec_rows = []
     for r in qrows:
@@ -417,12 +498,8 @@ def lsh_topk_batch_adaptive(emb_df, query_df, dim: int, k: int = 10,
     tables = _table_planes(dim, nplanes, n_tables)
     corpus = emb_df.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     bucket_from_planes(F.col(vec_col), planes)
-                     .cast("long").alias("bkt"))
-            for t, planes in enumerate(tables)
-        ])).alias("tb"),
+        F.explode(F.expr(_table_structs_sql(_qcol(vec_col), tables,
+                                            cast_long=True))).alias("tb"),
     ).select(id_col, vec_col, F.col("tb.tbl").cast("int").alias("tbl"),
              "tb.bkt")
     cand = (
@@ -457,11 +534,7 @@ def build_ann_index(emb_df, path: str, dim: int,
     tables = _table_planes(dim, nplanes, n_tables)
     keyed = emb_df.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     bucket_from_planes(F.col(vec_col), planes).alias("bkt"))
-            for t, planes in enumerate(tables)
-        ])).alias("tb"),
+        F.explode(F.expr(_table_structs_sql(_qcol(vec_col), tables))).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
     keyed.write.mode("overwrite").partitionBy("tbl", "bkt").parquet(path)
 

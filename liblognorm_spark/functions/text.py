@@ -403,10 +403,15 @@ def unigram_nll(df, text_col: str = "text", id_col: str = "doc_id"):
             F.col(id_col),
             F.col("n_tokens"),
             # 1000000/1048576 reduced to 15625/16384: floor(a*c/(b*c)) is
-            # invariant under the common factor, and the 64x-smaller
-            # multiplier keeps sum_nll*15625 inside a long up to ~50M
-            # tokens/doc at worst-case NLL (Spark would wrap silently
-            # where DuckDB errors — the engines must never diverge)
+            # invariant under the common factor.  Headroom bound (round-6
+            # correction of an overstated comment): worst-case per-token
+            # NLL is ln(total)*2^20, so sum_nll*15625 stays inside a long
+            # for n_tokens_doc < 2^63 / (15625 * ln(total) * 2^20) — about
+            # 16M all-singleton tokens/doc at a 10^15-token corpus (not
+            # the ~50M previously claimed).  Past that Spark would wrap
+            # silently where DuckDB errors; real documents sit orders of
+            # magnitude below the bound, and a pipeline feeding larger
+            # ones should pre-split docs before scoring.
             F.expr("(sum_nll * 15625) DIV (n_tokens * 16384)").alias("mean_nll_micros"),
         )
     )

@@ -574,3 +574,21 @@ def test_span_ops_invariant_under_partitioning(spark):
     unpersist_dedup_caches()
     assert a == b and len(a) > 0
     assert ea == eb
+
+
+def test_ann_batch_adaptive_query_count_guard(spark, monkeypatch):
+    """The driver-side probe planner collects the query frame; the guard
+    must fail fast (naming the distributed fallback) above the cap and
+    leave results untouched below it."""
+    import pytest as _pytest
+
+    from liblognorm_spark.functions import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id % 100 = 0").selectExpr(
+        "vec_id as query_id", "embedding")
+    monkeypatch.setattr(S, "MAX_ADAPTIVE_BATCH_QUERIES", 1)
+    with _pytest.raises(ValueError, match="lsh_topk_batch"):
+        S.lsh_topk_batch_adaptive(emb, queries, dim=64, k=5)
+    monkeypatch.setattr(S, "MAX_ADAPTIVE_BATCH_QUERIES", 50_000)
+    assert S.lsh_topk_batch_adaptive(emb, queries, dim=64, k=5).count() > 0

@@ -78,9 +78,18 @@ def main():
             {t.split("[", 1)[0] for t in texts})  # prog{i} leading literal
         cold = None
         for _ in range(3):
-            for attr in ("_dispatch_memo_cache", "_fb_memo"):
+            # drop ALL cross-batch memo state: the dispatch memo, the
+            # fallback memo, the fold index, and each rule's prepared
+            # fold entry (the dispatch TRIE itself is deliberately kept —
+            # it is built once per compile, not per stream).  Before
+            # round 6 the fold state survived, so the cold column partly
+            # amortized round-5 fold work and over-credited the memo.
+            for attr in ("_dispatch_memo_cache", "_fb_memo", "_fold_idx"):
                 if hasattr(crb, attr):
                     delattr(crb, attr)
+            for cr in crb.rules:
+                if hasattr(cr, "_fold_ent"):
+                    delattr(cr, "_fold_ent")
             t0 = time.perf_counter()
             match_batch(crb, texts)
             d = time.perf_counter() - t0
