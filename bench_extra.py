@@ -127,6 +127,63 @@ def pipeline_breakdown(spark, n_docs, reps):
     return out
 
 
+def llm_big_bench(spark, big_dir, reps):
+    """Scale evidence for the training-data tier (round-5 verdict item:
+    the sf0.1 fixtures are so small the numbers measure Spark fixed
+    overhead).  Operating points follow each operator's contract at
+    scale (SemDeDup: k large enough that clusters stay small), so the
+    numbers show the 100-TB shape doing real work, not a quadratic
+    corner."""
+    from pyspark.sql import functions as F
+
+    from liblognorm_spark.functions.clustering import kmeans_assign, semdedup
+    from liblognorm_spark.functions.dedup import (
+        duplicate_spans,
+        exact_dedup,
+        minhash_lsh_pairs,
+        unpersist_dedup_caches,
+    )
+    from liblognorm_spark.functions.search import bm25_topk
+    from liblognorm_spark.functions.similarity import lsh_topk_batch_adaptive
+
+    docs = spark.read.parquet(f"{big_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{big_dir}/embeddings.parquet")
+    n_docs, n_vecs = docs.count(), emb.count()
+    emb50 = emb.where(F.col("vec_id") < n_vecs // 4)
+
+    cases = {
+        "dedup_exact": lambda: exact_dedup(docs),
+        "minhash_pairs": lambda: minhash_lsh_pairs(docs).where(
+            F.col("est_jaccard_millis") >= 500),
+        "duplicate_spans": lambda: duplicate_spans(docs, k=5, min_docs=2),
+        "bm25": lambda: bm25_topk(
+            docs, ["w" + "0" * 6, "wae", "wbe"], k=15),
+        "kmeans_assign_k64": lambda: kmeans_assign(emb, k=64, iters=2),
+        "semdedup_k128_quarter": lambda: semdedup(
+            emb50, k=128, iters=2, threshold=0.9),
+        "ann_batch_adaptive": lambda: lsh_topk_batch_adaptive(
+            emb,
+            emb.where((F.col("vec_id") % 1000) == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            dim=64, k=10),
+    }
+    out = {"n_docs": n_docs, "n_vecs": n_vecs}
+    for name, make in cases.items():
+        times = []
+        for _ in range(reps):
+            spark.sparkContext.setJobDescription(f"llm_big {name}")
+            t0 = time.perf_counter()
+            # noop sink, not count(): count() lets Catalyst prune a pure
+            # projection down to nothing (guide §1.4), which would "time"
+            # kmeans_assign without computing a single cosine
+            _noop(make())
+            times.append(round(time.perf_counter() - t0, 2))
+            unpersist_dedup_caches()
+        out[name] = {"best": min(times), "times": times}
+        print(json.dumps({name: out[name]}), flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=",".join(BENCH_QUERIES))
@@ -136,6 +193,9 @@ def main():
     ap.add_argument("--suffix", default="", help="plan filename suffix")
     ap.add_argument("--pipeline", action="store_true")
     ap.add_argument("--pipeline-docs", type=int, default=4_800_000)
+    ap.add_argument("--llm-big", default=None,
+                    help="dir from tools/gen_llm_fixtures.py: bench the "
+                         "training-data tier at scale")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,6 +215,8 @@ def main():
         results["pipeline_breakdown"] = pipeline_breakdown(
             spark, args.pipeline_docs, args.reps
         )
+    elif args.llm_big:
+        results["llm_big"] = llm_big_bench(spark, args.llm_big, args.reps)
     else:
         # small warmup so the first query does not pay JVM/Arrow init
         E.queries()["parse_sshd"](spark, "/root/testdata/sf0.001").count()

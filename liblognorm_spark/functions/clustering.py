@@ -91,23 +91,19 @@ def _sql_vec(values) -> str:
 
 
 def _dot_sql(vec_sql: str, values) -> str:
-    """SQL twin of similarity.dot_expr(vec, lit_vec(values)): zip_with
-    element products folded left from 0.0 — the exact expression shape
-    the DuckDB oracles mirror."""
-    return (
-        f"aggregate(zip_with({vec_sql}, {_sql_vec(values)}, "
-        "(x, y) -> cast(x as double) * cast(y as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
+    """Unrolled codegen dot against literal coefficients — see
+    similarity._dot_const_sql (bit-identical to the zip_with fold the
+    DuckDB oracles mirror, add-for-add in the same order)."""
+    from liblognorm_spark.functions.similarity import _dot_const_sql
+
+    return _dot_const_sql(vec_sql, values)
 
 
-def _norm_sql(vec_sql: str) -> str:
-    """SQL twin of similarity.norm_expr."""
-    return (
-        f"sqrt(aggregate(transform({vec_sql}, "
-        "x -> cast(x as double) * cast(x as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v))"
-    )
+def _norm_sql(vec_sql: str, dim: int) -> str:
+    """Unrolled codegen norm — see similarity._norm_const_sql."""
+    from liblognorm_spark.functions.similarity import _norm_const_sql
+
+    return _norm_const_sql(vec_sql, dim)
 
 
 def _cos_arr_sql(vec_sql: str, centroids, norm_sql: str | None = None) -> str:
@@ -117,7 +113,18 @@ def _cos_arr_sql(vec_sql: str, centroids, norm_sql: str | None = None) -> str:
     the SQL aggregate, math.sqrt is IEEE).  ``norm_sql`` names an
     already-computed per-row norm column so the row norm is evaluated
     once instead of once per centroid."""
-    nv = norm_sql if norm_sql is not None else _norm_sql(vec_sql)
+    from liblognorm_spark.functions.similarity import (
+        UNROLL_MAX_TERMS,
+        _dot_fold_sql,
+    )
+
+    dim = len(centroids[0])
+    nv = norm_sql if norm_sql is not None else _norm_sql(vec_sql, dim)
+    # one expression tree holds k dots of dim terms each: above the
+    # unroll budget the codegen COMPILATION dominates (janino cost grows
+    # super-linearly with source size), so large k keeps the fold form —
+    # same values, interpreted eval, no compile cliff
+    dot = _dot_sql if len(centroids) * dim <= UNROLL_MAX_TERMS else _dot_fold_sql
     parts = []
     for cent in centroids:
         cn = math.sqrt(sum(float(v) * float(v) for v in cent))
@@ -126,7 +133,7 @@ def _cos_arr_sql(vec_sql: str, centroids, norm_sql: str | None = None) -> str:
             continue
         parts.append(
             f"(CASE WHEN {nv} = cast(0.0 as double) THEN cast(0.0 as double) "
-            f"ELSE {_dot_sql(vec_sql, cent)} / ({nv} * {_sql_f(cn)}) END)"
+            f"ELSE {dot(vec_sql, cent)} / ({nv} * {_sql_f(cn)}) END)"
         )
     return "array(" + ", ".join(parts) + ")"
 
@@ -169,14 +176,17 @@ def _q(col: str) -> str:
 
 
 def _with_cluster(df, vec_col: str, centroids, out=None):
-    """df + ``cluster`` column via the SQL-string assignment.  Two-step
-    projection: the cosine array is materialized as a column first so
-    array_position/array_max read it instead of re-evaluating the k
-    folds (the single-expression form evaluates the array twice)."""
+    """df + ``cluster`` column via the SQL-string assignment.  Staged
+    projections: the row norm is a column (computed once, read by all k
+    cosines), then the cosine array is a column (read twice by
+    array_position/array_max) — the single-expression form re-evaluated
+    both."""
     keep = df.columns if out is None else out
-    cos = _cos_arr_sql(_q(vec_col), centroids)
+    dim = len(centroids[0])
+    cos = _cos_arr_sql(_q(vec_col), centroids, norm_sql="_lls_nrm")
     return (
-        df.withColumn("_lls_cos", F.expr(cos))
+        df.withColumn("_lls_nrm", F.expr(_norm_sql(_q(vec_col), dim)))
+        .withColumn("_lls_cos", F.expr(cos))
         .select(*keep, F.expr(_ASSIGN_FROM_COS.format(c="_lls_cos")).alias("cluster"))
     )
 
@@ -196,17 +206,27 @@ def kmeans_fit(emb_df, k: int = 8, iters: int = 2,
         raise ValueError(
             f"kmeans_fit: no non-null {vec_col!r} rows to initialize from")
     dim = len(cents[0])
-    # one array-of-sums aggregate expression (a single py4j call) instead
-    # of dim separate F.sum columns; values are the same longs
+    # one array-of-sums aggregate expression (a single py4j call) with the
+    # integer scaling unrolled per element (codegen; the transform-array
+    # intermediate was interpreted).  Values are the same longs:
+    # cast(floor(cast(v[d] as double) * 2^24 + 0.5) as long), summed.
+    scale = f"{float(CENTROID_SCALE)!r}D"
     sums_sql = "array(" + ", ".join(
-        f"sum(element_at(_sv, {d + 1}))" for d in range(dim)) + ")"
+        f"sum(cast(floor(cast({_q(vec_col)}[{d}] as double) * {scale} + 0.5D) "
+        "as long))" for d in range(dim)) + ")"
 
     for _ in range(iters):
+        # norm as a real column first: the k cosines then READ it (k=8
+        # inlines 16 norm copies per row; larger k would explode the
+        # generated code quadratically)
         scaled = (
-            df.withColumn("_lls_cos", F.expr(_cos_arr_sql(_q(vec_col), cents)))
+            df.select(F.col(vec_col),
+                      F.expr(_norm_sql(_q(vec_col), dim)).alias("_nrm"))
+            .withColumn("_lls_cos", F.expr(_cos_arr_sql(_q(vec_col), cents,
+                                                        norm_sql="_nrm")))
             .select(
                 F.expr(_ASSIGN_FROM_COS.format(c="_lls_cos")).alias("cluster"),
-                _scaled_elems(F.col(vec_col)).alias("_sv"),
+                F.col(vec_col),
             )
         )
         sums = scaled.groupBy("cluster").agg(
@@ -281,13 +301,14 @@ def semdedup(emb_df, k: int = 8, iters: int = 2, threshold: float = 0.9,
 
     if centroids is None:
         centroids = kmeans_fit(emb_df, k, iters, vec_col, id_col)
+    dim = len(centroids[0])
     base = _spread(emb_df.where(F.col(vec_col).isNotNull()))
     # norm column first, then cosines READ it (one norm fold per row,
     # not one per centroid per row), then the assignment reads the
     # cosine array column
     assigned = (
         base.select(F.col(id_col), F.col(vec_col),
-                    F.expr(_norm_sql(_q(vec_col))).alias("_nrm"))
+                    F.expr(_norm_sql(_q(vec_col), dim)).alias("_nrm"))
         .withColumn("_lls_cos", F.expr(_cos_arr_sql(_q(vec_col), centroids,
                                                     norm_sql="_nrm")))
         .select(id_col, vec_col, "_nrm",
@@ -312,13 +333,17 @@ def semdedup(emb_df, k: int = 8, iters: int = 2, threshold: float = 0.9,
         F.col(vec_col).alias("vb"),
         F.col("_nrm").alias("nb"),
     )
-    from liblognorm_spark.functions.similarity import dot_expr
+    from liblognorm_spark.functions.similarity import _dot_pair_sql
 
     # same value as cosine_expr(va, vb): the norms are the identical
-    # IEEE folds, computed once per row instead of once per pair
+    # IEEE folds, computed once per row instead of once per pair, and
+    # the per-pair dot is the unrolled codegen chain (the interpreted
+    # zip_with fold dominated the within-cluster join at scale)
     cos = F.when(
         (F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)
-    ).otherwise(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    ).otherwise(
+        F.expr(_dot_pair_sql("`va`", "`vb`", dim)) / (F.col("na") * F.col("nb"))
+    )
     pairs = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))

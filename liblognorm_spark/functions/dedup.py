@@ -244,6 +244,12 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                        persist_sigs=True)
     if max_bucket_size is not None:
         exploded = _cap_buckets(exploded, ["band", "band_key"], max_bucket_size)
+    # the capped frame is ALSO persisted (same layout the pre-round-6 code
+    # cached): the self-join's two sides then read one materialization
+    # instead of re-deriving band keys + anti-join twice from the sig
+    # cache, and repeated consumers (connected-components rounds, repeat
+    # invocations in a warm session) skip the banding entirely
+    exploded = _persist(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     # est_jaccard is computed BEFORE the per-pair dedup so dropDuplicates
@@ -421,7 +427,6 @@ def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_i
     from liblognorm_spark.functions.similarity import (
         _hyperplanes,
         _table_structs_sql,
-        cosine_expr,
     )
 
     planes = _hyperplanes(dim, ntables * nplanes)
@@ -445,9 +450,11 @@ def embedding_near_dups(emb_df, vec_col: str = "embedding", id_col: str = "vec_i
         )
         .dropDuplicates(["id_a", "id_b"])  # dedup across tables BEFORE the cosine
     )
-    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    from liblognorm_spark.functions.similarity import cos_pair_sql
+
+    cos = F.expr(f"cast({cos_pair_sql('`_va`', '`_vb`', dim)} * 1000 as long)")
     return pairs.select(
-        "id_a", "id_b", (cos * 1000).cast("long").alias("cos_millis")
+        "id_a", "id_b", cos.alias("cos_millis")
     ).where(F.col("cos_millis") >= min_cos_millis)
 
 

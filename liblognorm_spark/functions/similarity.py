@@ -38,10 +38,19 @@ def _sql_f(v: float) -> str:
     return f"{float(v)!r}D"
 
 
-def _dot_const_sql(vec_sql: str, values) -> str:
-    """SQL twin of dot_expr(vec, lit_vec(values)) — identical zip_with +
-    left fold from 0.0, built as ONE string instead of len(values) py4j
-    F.lit calls (~3 ms each; a multi-table plane set is thousands)."""
+#: above this many unrolled terms per EXPRESSION TREE, fall back to the
+#: interpreted HOF fold: whole-stage codegen compilation cost grows
+#: super-linearly with generated-source size (measured: a k=64 x dim=64
+#: unrolled centroid array costs ~40 s of janino per plan, while the k=8
+#: oracle shape compiles in milliseconds and runs 10-50x faster than the
+#: fold).  Values are identical on both paths, so this is purely a
+#: compile-vs-execute trade.
+UNROLL_MAX_TERMS = 2048
+
+
+def _dot_fold_sql(vec_sql: str, values) -> str:
+    """Fold form of the literal dot (interpreted HOF; used above
+    UNROLL_MAX_TERMS where unrolled codegen compilation dominates)."""
     arr = "array(" + ", ".join(_sql_f(v) for v in values) + ")"
     return (
         f"aggregate(zip_with({vec_sql}, {arr}, "
@@ -50,12 +59,54 @@ def _dot_const_sql(vec_sql: str, values) -> str:
     )
 
 
-def _norm_const_sql(vec_sql: str) -> str:
-    """SQL twin of norm_expr(vec)."""
+def _dot_const_sql(vec_sql: str, values) -> str:
+    """Dot of a vector column against literal coefficients, as an
+    UNROLLED left-associative sum: (v[0]*c0) + (v[1]*c1) + ...
+
+    Bit-identical to dot_expr(vec, lit_vec(values)) — a left-assoc `+`
+    chain adds in exactly the fold's order, and 0.0 + x == x for every
+    x the downstream integer scaling can distinguish — but, unlike the
+    aggregate/zip_with HigherOrderFunction (which Spark always
+    interprets), plain Add/Multiply/GetArrayItem chains run inside
+    whole-stage CODEGEN.  Measured on the 200k-vector tier this is the
+    difference between minutes and seconds for every cosine-shaped
+    operator.  Requires len(vec) == len(values): the fold null-padded a
+    longer vector to NULL, the unrolled chain only reads the first
+    len(values) elements — every caller already pins dim."""
+    return "(" + " + ".join(
+        f"(cast({vec_sql}[{i}] as double) * {_sql_f(v)})"
+        for i, v in enumerate(values)
+    ) + ")"
+
+
+def _norm_const_sql(vec_sql: str, dim: int) -> str:
+    """Euclidean norm of a vector column, unrolled like _dot_const_sql
+    (bit-identical to norm_expr for dim-length vectors; squares are
+    never -0.0 so even the signed-zero corner agrees)."""
+    sq = " + ".join(
+        f"(cast({vec_sql}[{i}] as double) * cast({vec_sql}[{i}] as double))"
+        for i in range(dim)
+    )
+    return f"sqrt({sq})"
+
+
+def _dot_pair_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """Unrolled dot of two vector COLUMNS (codegen; bit-identical to
+    dot_expr's fold for dim-length vectors)."""
+    return "(" + " + ".join(
+        f"(cast({a_sql}[{i}] as double) * cast({b_sql}[{i}] as double))"
+        for i in range(dim)
+    ) + ")"
+
+
+def cos_pair_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """Unrolled twin of cosine_expr(a, b) for dim-length vectors."""
+    na = _norm_const_sql(a_sql, dim)
+    nb = _norm_const_sql(b_sql, dim)
     return (
-        f"sqrt(aggregate(transform({vec_sql}, "
-        "x -> cast(x as double) * cast(x as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v))"
+        f"(CASE WHEN ({na} = cast(0.0 as double)) OR ({nb} = cast(0.0 as double)) "
+        f"THEN cast(0.0 as double) "
+        f"ELSE {_dot_pair_sql(a_sql, b_sql, dim)} / ({na} * {nb}) END)"
     )
 
 
@@ -67,7 +118,7 @@ def cos_const_sql(vec_sql: str, query_vec) -> str:
     qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
     if qn == 0.0:
         return "cast(0.0 as double)"
-    nv = _norm_const_sql(vec_sql)
+    nv = _norm_const_sql(vec_sql, len(query_vec))
     return (
         f"(CASE WHEN {nv} = cast(0.0 as double) THEN cast(0.0 as double) "
         f"ELSE {_dot_const_sql(vec_sql, query_vec)} / ({nv} * {_sql_f(qn)}) END)"
@@ -124,12 +175,23 @@ def bucket_from_planes(vec, planes):
     return bucket
 
 
-def bucket_sql(vec_sql: str, planes) -> str:
-    """SQL twin of bucket_from_planes — same per-plane fold, same int
-    sum of 2^p terms, built as one string (the multi-table builders were
-    spending seconds of driver time on per-element F.lit py4j calls)."""
+def bucket_sql(vec_sql: str, planes, fold: bool | None = None) -> str:
+    """SQL twin of bucket_from_planes — same per-plane dot, same int sum
+    of 2^p terms, built as one string (the multi-table builders were
+    spending seconds of driver time on per-element F.lit py4j calls).
+
+    ``fold`` picks the dot form; None auto-selects: unrolled codegen for
+    this bucket alone when it fits the unroll budget.  Callers that
+    combine MANY buckets into one expression tree (multi-table structs,
+    OR-chained probe filters) must pass fold=True past the budget — the
+    round-6 measurement found a single 4096-term tree costs minutes of
+    compile/interpreted fallback while the same values via the fold run
+    in seconds."""
+    if fold is None:
+        fold = len(planes) * len(planes[0]) > UNROLL_MAX_TERMS
+    dot = _dot_fold_sql if fold else _dot_const_sql
     terms = [
-        f"(CASE WHEN {_dot_const_sql(vec_sql, plane)} >= 0 "
+        f"(CASE WHEN {dot(vec_sql, plane)} >= 0 "
         f"THEN {2 ** p} ELSE 0 END)"
         for p, plane in enumerate(planes)
     ]
@@ -144,10 +206,13 @@ def _table_structs_sql(vec_sql: str, tables, bkt_name: str = "bkt",
                        cast_long: bool = False) -> str:
     """array(named_struct('tbl', t, '<bkt_name>', bucket_t)) over all
     plane tables — the explode argument every multi-table builder uses,
-    as one SQL string."""
+    as one SQL string.  The unroll budget is applied to the WHOLE array
+    (all tables land in one expression tree)."""
+    total_terms = sum(len(p) * len(p[0]) for p in tables)
+    fold = total_terms > UNROLL_MAX_TERMS
     items = []
     for t, planes in enumerate(tables):
-        b = bucket_sql(vec_sql, planes)
+        b = bucket_sql(vec_sql, planes, fold=fold)
         if cast_long:
             b = f"cast({b} as long)"
         items.append(f"named_struct('tbl', {t}, '{bkt_name}', {b})")
@@ -229,10 +294,11 @@ def ann_candidates(emb_df, query_vec: list[float],
     experiments can COUNT candidates (the scanned fraction) with the exact
     production predicate."""
     dim = len(query_vec)
+    fold = n_tables * nplanes * dim > UNROLL_MAX_TERMS  # one OR-chained tree
     cond = None
     for planes in _table_planes(dim, nplanes, n_tables):
         probes = _probe_buckets(_qbucket_planes(query_vec, planes), nplanes, probe_hamming)
-        c = F.expr(bucket_sql(_qcol(vec_col), planes)).isin(*probes)
+        c = F.expr(bucket_sql(_qcol(vec_col), planes, fold=fold)).isin(*probes)
         cond = c if cond is None else (cond | c)
     return emb_df.select(F.col(id_col), F.col(vec_col)).where(cond)
 
@@ -353,9 +419,10 @@ def ann_candidates_adaptive(emb_df, query_vec: list[float],
     plan = adaptive_probe_plan(hist, query_vec, nplanes, n_tables,
                                target_frac, max_hamming)
     tables = _table_planes(dim, nplanes, n_tables)
+    fold = len(plan) * nplanes * dim > UNROLL_MAX_TERMS  # one OR-chained tree
     cond = None
     for t, probes in plan.items():
-        c = F.expr(bucket_sql(_qcol(vec_col), tables[t])).isin(*probes)
+        c = F.expr(bucket_sql(_qcol(vec_col), tables[t], fold=fold)).isin(*probes)
         cond = c if cond is None else (cond | c)
     return emb_df.select(F.col(id_col), F.col(vec_col)).where(cond)
 
@@ -426,8 +493,8 @@ def lsh_topk_batch(emb_df, query_df, dim: int, k: int = 10,
     )
     scored = cand.select(
         F.col(query_id_col), F.col(id_col),
-        (cosine_expr(F.col(vec_col), F.col("_qv")) * 1000000)
-        .cast("long").alias("cos_micros"),
+        F.expr(f"cast({cos_pair_sql(_qcol(vec_col), '`_qv`', dim)} * 1000000 "
+               "as long)").alias("cos_micros"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_micros").desc(), F.col(id_col)
@@ -509,8 +576,8 @@ def lsh_topk_batch_adaptive(emb_df, query_df, dim: int, k: int = 10,
     )
     scored = cand.select(
         F.col(query_id_col), F.col(id_col),
-        (cosine_expr(F.col(vec_col), F.col("_qv")) * 1000000)
-        .cast("long").alias("cos_micros"),
+        F.expr(f"cast({cos_pair_sql(_qcol(vec_col), '`_qv`', dim)} * 1000000 "
+               "as long)").alias("cos_micros"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_micros").desc(), F.col(id_col))
