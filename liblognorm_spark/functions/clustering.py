@@ -113,18 +113,19 @@ def _cos_arr_sql(vec_sql: str, centroids, norm_sql: str | None = None) -> str:
     the SQL aggregate, math.sqrt is IEEE).  ``norm_sql`` names an
     already-computed per-row norm column so the row norm is evaluated
     once instead of once per centroid."""
-    from liblognorm_spark.functions.similarity import (
-        UNROLL_MAX_TERMS,
-        _dot_fold_sql,
-    )
+    from liblognorm_spark.functions.similarity import _dot_fold_sql
 
     dim = len(centroids[0])
     nv = norm_sql if norm_sql is not None else _norm_sql(vec_sql, dim)
-    # one expression tree holds k dots of dim terms each: above the
-    # unroll budget the codegen COMPILATION dominates (janino cost grows
-    # super-linearly with source size), so large k keeps the fold form —
-    # same values, interpreted eval, no compile cliff
-    dot = _dot_sql if len(centroids) * dim <= UNROLL_MAX_TERMS else _dot_fold_sql
+    # centroid dots keep the FOLD form: the centroid literals change
+    # every Lloyd iteration, so an unrolled k x dim tree is re-analyzed/
+    # re-compiled on every plan — measured +3.5 s per semdedup call at
+    # fixture scale in an interleaved A/B (fold 2.5 s vs unrolled 6.0 s),
+    # and a k=64 array costs ~40 s of compile per plan.  The unrolled
+    # codegen win is kept where the generated source is STABLE (the
+    # literal-free pair dots below and the per-element sums), which is
+    # also where the per-row volume lives at corpus scale.
+    dot = _dot_fold_sql
     parts = []
     for cent in centroids:
         cn = math.sqrt(sum(float(v) * float(v) for v in cent))
