@@ -21,7 +21,14 @@ def get_spark(app: str = "liblognorm_spark", cpus: int | None = None, shuffle_pa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # 64k-row Arrow batches for the match stage (rows are ~100B, so a
+        # batch is ~6-12MB): an interleaved same-session A/B at 4.8M docs
+        # won 3 of 4 pairs vs the old 20000 and cut the slow-rep tail
+        # (b20k [5.79, 8.05, 3.96, 3.40] vs b64k [4.40, 3.89, 3.37,
+        # 3.45]).  Parameterised for wide-row deployments (guide §4.2:
+        # lower it for large binary cells).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"))
         # local mode = driver-only: the driver heap is the executor heap.
         # GC pressure is the first scaling killer for the match stage at
         # high core counts (measured: 8g heap halves 32-core throughput).
