@@ -156,8 +156,14 @@ def llm_big_bench(spark, big_dir, reps):
         "minhash_pairs": lambda: minhash_lsh_pairs(docs).where(
             F.col("est_jaccard_millis") >= 500),
         "duplicate_spans": lambda: duplicate_spans(docs, k=5, min_docs=2),
+        # real vocabulary words (vocab word for rank r is
+        # "w" + md5(str(r))[:6] — see tools/gen_llm_fixtures.py), so all
+        # three terms actually match documents
         "bm25": lambda: bm25_topk(
-            docs, ["w" + "0" * 6, "wae", "wbe"], k=15),
+            docs,
+            ["w" + __import__("hashlib").md5(str(r).encode()).hexdigest()[:6]
+             for r in (0, 1, 2)],
+            k=15),
         "kmeans_assign_k64": lambda: kmeans_assign(emb, k=64, iters=2),
         "semdedup_k128_quarter": lambda: semdedup(
             emb50, k=128, iters=2, threshold=0.9),

@@ -52,7 +52,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from liblognorm_spark.functions.similarity import cosine_expr
+from liblognorm_spark.functions.similarity import _sql_f
 
 #: fixed-point scale for order-independent centroid sums
 CENTROID_SCALE = 1 << 24
@@ -65,38 +65,8 @@ CENTROID_SCALE = 1 << 24
 DEFAULT_MAX_CLUSTER = 32768
 
 
-def _scaled_elems(vec):
-    """Integer-scaled embedding elements: floor(x * 2^24 + 0.5) as long.
-    floor(+0.5) instead of round() because the two engines' round()
-    half-rule conventions differ; floor is defined identically."""
-    return F.transform(
-        vec,
-        lambda x: F.floor(x.cast("double") * F.lit(float(CENTROID_SCALE)) + F.lit(0.5)).cast("long"),
-    )
-
-
 def _lit_vec(values):
     return F.array(*[F.lit(float(v)) for v in values])
-
-
-def _sql_f(v: float) -> str:
-    """A Python float as a Spark SQL DOUBLE literal.  repr() round-trips
-    the exact double; the D suffix stops the parser from reading it as
-    DECIMAL."""
-    return f"{float(v)!r}D"
-
-
-def _sql_vec(values) -> str:
-    return "array(" + ", ".join(_sql_f(v) for v in values) + ")"
-
-
-def _dot_sql(vec_sql: str, values) -> str:
-    """Unrolled codegen dot against literal coefficients — see
-    similarity._dot_const_sql (bit-identical to the zip_with fold the
-    DuckDB oracles mirror, add-for-add in the same order)."""
-    from liblognorm_spark.functions.similarity import _dot_const_sql
-
-    return _dot_const_sql(vec_sql, values)
 
 
 def _norm_sql(vec_sql: str, dim: int) -> str:

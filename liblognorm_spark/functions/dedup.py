@@ -98,19 +98,14 @@ def _spread(df):
     of the raw rows, far less than serializing the hash work.
 
     The exact gate (`df.rdd.getNumPartitions()`) forces a full physical
-    planning pass (~80-100 ms per fresh plan, driver-side — guide §7.3),
-    so a file-backed input with at least `target` FILES short-circuits
-    first: scan partitions >= file count, so the gate cannot fire and the
-    planning pass is skipped.  Fewer files than cores falls through to
-    the exact check (a 1-file table can still split into many partitions
-    via maxPartitionBytes, so file count alone cannot prove the
-    repartition is needed)."""
+    planning pass (~80-100 ms per fresh plan, driver-side — guide §7.3).
+    A file-count short-circuit was tried in round 6 and REVERTED by
+    review: `df.inputFiles()` reports the source files regardless of any
+    narrowing downstream of the scan, so a caller-supplied
+    ``coalesce(1)`` over a many-file table would silently skip the
+    spread — the exact pathology this helper exists to prevent.  The
+    planning pass stays as the accepted cost of an exact answer."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if len(df.inputFiles()) >= target:
-            return df
-    except Exception:
-        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

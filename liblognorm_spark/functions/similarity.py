@@ -82,7 +82,12 @@ def _dot_const_sql(vec_sql: str, values) -> str:
 def _norm_const_sql(vec_sql: str, dim: int) -> str:
     """Euclidean norm of a vector column, unrolled like _dot_const_sql
     (bit-identical to norm_expr for dim-length vectors; squares are
-    never -0.0 so even the signed-zero corner agrees)."""
+    never -0.0 so even the signed-zero corner agrees).  Same pinned-dim
+    contract: a vector SHORTER than dim (including an empty array) reads
+    out-of-range elements as NULL and the norm becomes NULL, where the
+    fold form returned the partial sum (and 0.0 for empty) — callers
+    must filter/validate vector length upstream, as every operator here
+    documents."""
     sq = " + ".join(
         f"(cast({vec_sql}[{i}] as double) * cast({vec_sql}[{i}] as double))"
         for i in range(dim)

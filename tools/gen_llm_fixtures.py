@@ -38,25 +38,27 @@ def main():
 
     # --- documents ---------------------------------------------------
     # 120 words per doc; word w of doc d indexes a 50k-word md5 vocab by
-    # a Zipf-ish rank so frequent words repeat; every 37th doc shares a
-    # 30-word span with doc d-37 (planted near/exact duplication).
+    # a Zipf-ish rank so frequent words repeat; every 37th doc (d > 0)
+    # shares its first 30-word span VERBATIM with doc d-1: d-1 is never
+    # itself a 37-multiple, so the copy uses exactly the source doc's own
+    # word formula and the duplication genuinely materializes (the
+    # round-6 review caught a first version that chained multiples into
+    # words no real doc had).
+    def _rank(doc, i):
+        return F.pmod(F.xxhash64(doc * 1000 + i), F.lit(50000))
+
     words = F.transform(
         F.sequence(F.lit(0), F.lit(119)),
         lambda i: F.concat(
             F.lit("w"),
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.when(
-                            (F.col("doc_id") % 37 == 0) & (i < 30),
-                            (F.col("doc_id") - 37) * 1000 + i,
-                        ).otherwise(
-                            F.pmod(
-                                F.xxhash64(F.col("doc_id") * 1000 + i), F.lit(50000)
-                            )
-                        ).cast("string"),
+                    F.when(
+                        (F.col("doc_id") % 37 == 0) & (F.col("doc_id") > 0) & (i < 30),
+                        _rank(F.col("doc_id") - 1, i),
                     )
+                    .otherwise(_rank(F.col("doc_id"), i))
+                    .cast("string")
                 ),
                 1,
                 6,
@@ -78,11 +80,12 @@ def main():
 
     # --- embeddings --------------------------------------------------
     # element e of vec v: md5("v|e") first 8 hex chars -> [-1, 1);
-    # every 41st vector copies vec v-41 with a tiny deterministic nudge
-    # (planted near-duplicates for semdedup/near-dup operators).
-    src = F.when(F.col("vec_id") % 41 == 0, F.col("vec_id") - 41).otherwise(
-        F.col("vec_id")
-    )
+    # every 41st vector (v > 0) copies vec v-1 with a tiny deterministic
+    # nudge — v-1 is never itself a 41-multiple, so the near-duplicate
+    # pair (v-1, v) genuinely exists (same review fix as the documents).
+    src = F.when(
+        (F.col("vec_id") % 41 == 0) & (F.col("vec_id") > 0), F.col("vec_id") - 1
+    ).otherwise(F.col("vec_id"))
     elems = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda e: (
